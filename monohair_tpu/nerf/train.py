@@ -1,0 +1,136 @@
+"""NeRF training loop: random-ray Adam steps over the capture images.
+
+Replaces the instant-ngp training drive (run.py:184-206; default budget 35 000
+steps on CUDA — the hash-grid + tiny MLPs converge on TPU in far fewer because
+we batch 16k rays/step at bf16 matmul throughput).
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .ngp import NGPField, camera_rays, render_rays
+
+
+class NerfDataset(NamedTuple):
+    images: np.ndarray     # (F, H, W, 3) float32 in [0, 1]
+    c2w: np.ndarray        # (F, 4, 4) NeRF convention
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+
+
+def load_nerf_dataset(transforms_path: str, image_root: str,
+                      max_images: Optional[int] = None) -> NerfDataset:
+    import cv2
+    from .poses import load_transforms_json
+    xforms, fov = load_transforms_json(transforms_path)
+    names = list(xforms)
+    if max_images:
+        names = names[:: max(1, len(names) // max_images)][:max_images]
+    imgs, poses = [], []
+    for n in names:
+        for ext in (".png", ".jpg", ".JPG"):
+            p = os.path.join(image_root, n + ext)
+            if os.path.exists(p):
+                img = cv2.imread(p)[..., ::-1].astype(np.float32) / 255.0
+                imgs.append(img)
+                poses.append(xforms[n])
+                break
+    images = np.stack(imgs)
+    H, W = images.shape[1:3]
+    import math
+    fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
+    return NerfDataset(images, np.stack(poses).astype(np.float32),
+                       fx=fy, fy=fy, cx=W / 2.0, cy=H / 2.0)
+
+
+def make_nerf_train_step(field: NGPField, tx: optax.GradientTransformation,
+                         num_samples: int = 128):
+    def loss_fn(variables, o, d, target, rng):
+        rgb, _, _ = render_rays(field, variables, o, d, num_samples, rng)
+        return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
+
+    @jax.jit
+    def step(variables, opt_state, o, d, target, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(variables, o, d, target, rng)
+        updates, opt_state = tx.update(grads, opt_state, variables)
+        variables = optax.apply_updates(variables, updates)
+        return variables, opt_state, loss
+
+    return step
+
+
+def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
+               lr: float = 1e-2, seed: int = 0, log_every: int = 500,
+               field: Optional[NGPField] = None):
+    """Returns (field, variables, losses)."""
+    field = field or NGPField()
+    rng = jax.random.PRNGKey(seed)
+    variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    tx = optax.chain(optax.clip_by_global_norm(10.0),
+                     optax.adam(optax.exponential_decay(lr, steps, 0.1)))
+    opt_state = tx.init(variables)
+    step = make_nerf_train_step(field, tx)
+
+    F, H, W = ds.images.shape[:3]
+    np_rng = np.random.default_rng(seed)
+    losses = []
+    c2w_all = jnp.asarray(ds.c2w)
+    imgs = ds.images.reshape(F, H * W, 3)
+    for i in range(steps):
+        fi = np_rng.integers(0, F, rays_per_batch)
+        pi = np_rng.integers(0, H * W, rays_per_batch)
+        rows = (pi // W).astype(np.float32)
+        cols = (pi % W).astype(np.float32)
+        target = jnp.asarray(imgs[fi, pi])
+        pix = jnp.asarray(np.stack([rows, cols], -1))
+        # per-ray camera: gather c2w then rotate dirs
+        c2w = c2w_all[jnp.asarray(fi)]
+        x = (pix[:, 1] + 0.5 - ds.cx) / ds.fx
+        y = -(pix[:, 0] + 0.5 - ds.cy) / ds.fy
+        dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+        d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs)
+        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+        o = c2w[:, :3, 3]
+        rng, sub = jax.random.split(rng)
+        variables, opt_state, loss = step(variables, opt_state, o, d, target, sub)
+        if i % log_every == 0:
+            losses.append(float(loss))
+    return field, variables, losses
+
+
+def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
+                 fx: float, fy: float, cx: float, cy: float,
+                 chunk: int = 16384) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-frame render (rgb, depth) — the screenshot path (run.py:278-305)."""
+    rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    pix = np.stack([rows, cols], -1).reshape(-1, 2).astype(np.float32)
+    rgb = np.empty((H * W, 3), np.float32)
+    dep = np.empty((H * W,), np.float32)
+    render = jax.jit(lambda o, d: render_rays(field, variables, o, d, 192)[:2])
+    c2w_j = jnp.asarray(c2w.astype(np.float32))
+    for beg in range(0, len(pix), chunk):
+        sub = pix[beg:beg + chunk]
+        pad = chunk - len(sub)
+        if pad:
+            sub = np.concatenate([sub, np.zeros((pad, 2), np.float32)])
+        o, d = camera_rays(c2w_j, fx, fy, cx, cy, jnp.asarray(sub))
+        r, z = render(o, d)
+        rgb[beg:beg + chunk - pad] = np.asarray(r)[:chunk - pad]
+        dep[beg:beg + chunk - pad] = np.asarray(z)[:chunk - pad]
+    return rgb.reshape(H, W, 3), dep.reshape(H, W)
+
+
+def psnr(img: np.ndarray, ref: np.ndarray) -> float:
+    """PSNR metric (run.py:212-270 eval path)."""
+    mse = float(np.mean((img - ref) ** 2))
+    return -10.0 * np.log10(max(mse, 1e-12))

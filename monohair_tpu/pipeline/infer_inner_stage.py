@@ -1,0 +1,81 @@
+"""Stage 3 — interior inference (reference infer_inner.py :30-90).
+
+render_data: trace temporary render segments from the refined field and
+rasterize the 4 per-view maps; run_mvs: stream the dense grid through the
+occ/ori nets; then fuse interior+exterior by re-running the PMVO refine branch
+as a *function call* (the reference shells out to PMVO.py, infer_inner.py:89-90,
+to dodge GPU OOM — unnecessary here)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import numpy as np
+
+from ..config import Config
+from ..constants import BUST_TO_ORIGIN
+from ..coords import voxel_to_world
+from ..io.cameras_io import load_cam_params, subsample_views
+from ..io.mat_io import load_occ_mat, load_ori_mat
+from ..io.mesh_io import load_obj
+from ..models.convert import convert_pifu_checkpoint, load_torch_checkpoint
+from ..models.pifu import OccAttn, OriAttn
+from ..mvs.eval import deep_mvs_eval, load_mvs_inputs
+from ..render import render_data
+from ..strands.trace import generate_segments, strands_to_list
+from .pmvo_stage import run_pmvo
+
+
+def run_infer_inner(args: Config, mesh=None) -> None:
+    t0 = time.monotonic()
+    root = args.data.root
+    out = args.output_path
+    refine_path = os.path.join(out, "refine")
+
+    if args.infer_inner.render_data:
+        occ = load_occ_mat(os.path.join(refine_path, "Occ3D.mat"))
+        ori_world = load_ori_mat(os.path.join(refine_path, "Ori3D.mat"))
+        ori_voxel = ori_world * np.array([1, -1, -1], np.float32)
+        segs = generate_segments(occ, ori_voxel, thr_dot=0.8, sweeps=3)
+        strands = [np.asarray(voxel_to_world(s)) for s in segs]  # no bust shift
+        from ..io.hair_io import save_hair
+        save_hair(os.path.join(refine_path, "render_segments.hair"), strands)
+
+        bust_v, bust_f = load_obj(os.path.join(root, args.data.bust_path))
+        bust_v = bust_v + BUST_TO_ORIGIN
+        names, cams = load_cam_params(args.camera_path)
+        names, cams = subsample_views(names, cams)
+        render_data(cams, names, strands, bust_v, bust_f, (1280, 720),
+                    os.path.join(root, "imgs"))
+
+    if args.infer_inner.run_mvs:
+        inputs, _ = load_mvs_inputs(root, args.camera_path)
+        V = inputs.imgs.shape[0]
+        occ_model = OccAttn(num_views=V)
+        ori_model = OriAttn(num_views=V)
+        occ_vars = _load_variables(args, "occ", occ_model, inputs)
+        ori_vars = _load_variables(args, "ori", ori_model, inputs)
+        deep_mvs_eval(inputs, occ_model, occ_vars, ori_model, ori_vars,
+                      save_folder=os.path.join(root, "ours"), mesh=mesh)
+
+        fuse_args = Config(args.to_dict())
+        fuse_args.PMVO["infer_inner"] = True
+        fuse_args.PMVO["optimize"] = False
+        run_pmvo(fuse_args, mesh=mesh)
+    print(f"[infer_inner] done in {time.monotonic() - t0:.1f}s")
+
+
+def _load_variables(args: Config, kind: str, model, inputs):
+    """Load a converted torch checkpoint if configured, else init fresh."""
+    import jax
+    ckpt = args.get("mvs", {}).get(f"{kind}_model_path")
+    if ckpt and os.path.exists(ckpt):
+        sd = load_torch_checkpoint(ckpt)
+        params, stats = convert_pifu_checkpoint(
+            sd, "occ_vit" if kind == "occ" else "vit")
+        return {"params": params, "batch_stats": stats}
+    import jax.numpy as jnp
+    V, H, W, C = inputs.imgs.shape
+    return model.init(jax.random.PRNGKey(0), jnp.zeros((V, H, W, C)),
+                      jnp.zeros((8, 3)), jnp.zeros((V, 8, 3)), jnp.zeros((V, 8, 2)))

@@ -4,6 +4,8 @@ paths are exercised without TPU hardware (SURVEY.md §4c)."""
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# single host core: OpenMP (torch) and XLA thread pools deadlock unless pinned
+os.environ.setdefault("OMP_NUM_THREADS", "1")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
