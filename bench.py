@@ -30,7 +30,7 @@ def main():
     from monohair_tpu.pmvo.solver import PMVOMaps, pmvo_forward
 
     V, H, W = 16, 1920, 1080
-    N = 8192
+    N = 32768
     rng = np.random.default_rng(0)
 
     cam_list = []
@@ -57,17 +57,28 @@ def main():
     )
     points = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
 
-    fwd = jax.jit(lambda p: pmvo_forward(maps, p, patch_size=7, conf_threshold=0.15))
-    # warmup/compile
-    out = fwd(points)
-    jax.block_until_ready(out)
+    from functools import partial
+    # maps passed as an argument (closure would bake them into the HLO as
+    # constants — hundreds of MB of program payload)
+    base = jax.jit(partial(pmvo_forward, patch_size=7, conf_threshold=0.15))
+
+    # reduce outputs on device and vary the input per iteration so no caching /
+    # async-dispatch artifact can skip work; each iter forces a host read-back
+    def fwd(maps, p):
+        pts, ori, loss, high = base(maps, p)
+        return jnp.sum(ori) + jnp.sum(loss)
+
+    fwd = jax.jit(fwd)
+    shift = jnp.asarray(np.float32(1e-5))
+    _ = float(fwd(maps, points))  # warmup/compile
 
     iters = 5
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fwd(points)
-    jax.block_until_ready(out)
+    acc = 0.0
+    for i in range(iters):
+        acc += float(fwd(maps, points + shift * i))
     dt = time.perf_counter() - t0
+    assert np.isfinite(acc)
     pts_per_sec = N * iters / dt
 
     print(json.dumps({

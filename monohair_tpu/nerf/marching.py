@@ -42,13 +42,20 @@ _CASES[0b1001] = [[0, 1, 5], [0, 5, 4]]
 _CASES[0b0110] = [[0, 5, 1], [0, 4, 5]]
 
 
-def marching_tetrahedra(grid: np.ndarray, iso: float, chunk_z: int = 32
-                        ) -> Tuple[np.ndarray, np.ndarray]:
+def marching_tetrahedra(grid: np.ndarray, iso: float, chunk_z: int = 32,
+                        use_native: bool = True) -> Tuple[np.ndarray, np.ndarray]:
     """(X, Y, Z) scalar grid -> (vertices (V, 3) in grid coords, faces (F, 3)).
 
-    Streams over z-slabs to bound memory. Vertices are not deduplicated
-    (triangle soup) — fine for sampling/rasterization consumers.
+    Prefers the C++ host kernel (monohair_tpu/native, ~100x the numpy path at
+    256^3); this numpy implementation is the reference/fallback. Streams over
+    z-slabs to bound memory. Vertices are not deduplicated (triangle soup) —
+    fine for sampling/rasterization consumers.
     """
+    if use_native:
+        from ..native import marching_tetrahedra_native
+        out = marching_tetrahedra_native(grid, iso)
+        if out is not None:
+            return out
     X, Y, Z = grid.shape
     verts_out = []
     for z0 in range(0, Z - 1, chunk_z):

@@ -98,15 +98,20 @@ class NGPField(nn.Module):
     hidden: int = 64
     geo_feat: int = 15
 
-    @nn.compact
+    def setup(self):
+        self.hash_table = self.param(
+            "hash_table", nn.initializers.uniform(2e-4),
+            (self.cfg.num_levels, 2 ** self.cfg.log2_table_size,
+             self.cfg.features_per_level))
+        self.sigma1 = nn.Dense(self.hidden)
+        self.sigma2 = nn.Dense(1 + self.geo_feat)
+        self.rgb1 = nn.Dense(self.hidden)
+        self.rgb2 = nn.Dense(self.hidden)
+        self.rgb3 = nn.Dense(3)
+
     def density(self, points01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        table = self.param("hash_table", nn.initializers.uniform(2e-4),
-                           (self.cfg.num_levels, 2 ** self.cfg.log2_table_size,
-                            self.cfg.features_per_level))
-        enc = hash_encode(table, points01, self.cfg)
-        h = nn.Dense(self.hidden, name="sigma1")(enc)
-        h = nn.relu(h)
-        h = nn.Dense(1 + self.geo_feat, name="sigma2")(h)
+        enc = hash_encode(self.hash_table, points01, self.cfg)
+        h = self.sigma2(nn.relu(self.sigma1(enc)))
         sigma = jnp.exp(jnp.clip(h[:, 0], -15.0, 12.0))
         return sigma, h[:, 1:]
 
@@ -115,9 +120,9 @@ class NGPField(nn.Module):
         sigma, feat = self.density(points01)
         d = sh_encoding_deg4(dirs)
         h = jnp.concatenate([d, feat], -1)
-        h = nn.relu(nn.Dense(self.hidden, name="rgb1")(h))
-        h = nn.relu(nn.Dense(self.hidden, name="rgb2")(h))
-        rgb = nn.sigmoid(nn.Dense(3, name="rgb3")(h))
+        h = nn.relu(self.rgb1(h))
+        h = nn.relu(self.rgb2(h))
+        rgb = nn.sigmoid(self.rgb3(h))
         return sigma, rgb
 
 

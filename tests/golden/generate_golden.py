@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Generate torch golden fixtures (torch-only process — torch and XLA thread
+pools deadlock flakily when mixed on single-core hosts, so tests compare
+against these stored arrays instead of calling torch at test time).
+
+Run: python tests/golden/generate_golden.py   (rewrites tests/golden/*.npz)
+"""
+
+import os
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+torch.set_num_threads(1)
+torch.manual_seed(0)
+HERE = os.path.dirname(os.path.abspath(__file__))
+rng = np.random.default_rng(0)
+
+
+def grid_sample_case():
+    feat = rng.normal(size=(1, 7, 12, 9)).astype(np.float32)
+    coords = (rng.random((1, 40, 1, 2)).astype(np.float32) * 2.4 - 1.2)
+    ref = F.grid_sample(torch.from_numpy(feat), torch.from_numpy(coords),
+                        align_corners=False, padding_mode="zeros")
+    return {"feat": feat, "coords": coords,
+            "ref": ref[0, :, :, 0].T.numpy()}
+
+
+def pool3d_case():
+    vol = rng.random((9, 8, 7)).astype(np.float32)
+    t = torch.from_numpy(vol)[None, None]
+    out = {"vol": vol}
+    for k in (3, 5):
+        out[f"max{k}"] = F.max_pool3d(t, k, 1, k // 2)[0, 0].numpy()
+        out[f"avg{k}"] = F.avg_pool3d(t, k, 1, k // 2)[0, 0].numpy()
+    return out
+
+
+def double_conv_case():
+    tmod = torch.nn.Sequential(
+        torch.nn.Conv2d(3, 8, 5, padding=2), torch.nn.BatchNorm2d(8), torch.nn.ReLU(),
+        torch.nn.Conv2d(8, 8, 5, padding=2), torch.nn.BatchNorm2d(8), torch.nn.ReLU())
+    with torch.no_grad():
+        tmod[1].running_mean.normal_()
+        tmod[1].running_var.uniform_(0.5, 2.0)
+        tmod[4].running_mean.normal_()
+        tmod[4].running_var.uniform_(0.5, 2.0)
+    tmod.eval()
+    x = rng.normal(size=(2, 10, 12, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmod(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    out = {"x": x, "ref": ref}
+    for k, m in enumerate(tmod):
+        if hasattr(m, "weight"):
+            for n, v in list(m.named_parameters()) + list(m.named_buffers()):
+                out[f"sd.p.double_conv.{k}.{n}"] = v.detach().numpy()
+    return out
+
+
+def convtranspose_case():
+    t = torch.nn.ConvTranspose2d(6, 3, 3, stride=2, padding=1, output_padding=1)
+    x = rng.normal(size=(1, 7, 9, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = t(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+    return {"x": x, "ref": ref, "weight": t.weight.detach().numpy(),
+            "bias": t.bias.detach().numpy()}
+
+
+if __name__ == "__main__":
+    np.savez(os.path.join(HERE, "grid_sample.npz"), **grid_sample_case())
+    np.savez(os.path.join(HERE, "pool3d.npz"), **pool3d_case())
+    np.savez(os.path.join(HERE, "double_conv.npz"), **double_conv_case())
+    np.savez(os.path.join(HERE, "convtranspose.npz"), **convtranspose_case())
+    print("golden fixtures written to", HERE)

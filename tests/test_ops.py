@@ -9,16 +9,18 @@ from monohair_tpu.ops.pool3d import avg_pool3d, close_volume, max_pool3d, shell_
 from monohair_tpu.ops.voxelize import canonicalize_down, mean_direction, voxelize_directions
 
 
-def test_grid_sample_matches_torch(rng):
-    import torch
-    import torch.nn.functional as F
-    feat = rng.normal(size=(1, 7, 12, 9)).astype(np.float32)
-    coords = (rng.random((1, 40, 1, 2)).astype(np.float32) * 2.4 - 1.2)  # include OOB
-    ref = F.grid_sample(torch.from_numpy(feat), torch.from_numpy(coords),
-                        align_corners=False, padding_mode="zeros")
-    ref = ref[0, :, :, 0].T.numpy()  # (N, C)
-    out = grid_sample_2d(jnp.asarray(feat[0]), jnp.asarray(coords[0, :, 0, :]))
-    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-4, atol=1e-5)
+def _golden(name):
+    import os
+    return np.load(os.path.join(os.path.dirname(__file__), "golden", name))
+
+
+def test_grid_sample_matches_torch():
+    """Golden fixture from torch F.grid_sample(align_corners=False, zeros);
+    regenerate with tests/golden/generate_golden.py (torch is not imported at
+    test time — its thread pool deadlocks flakily against XLA's)."""
+    d = _golden("grid_sample.npz")
+    out = grid_sample_2d(jnp.asarray(d["feat"][0]), jnp.asarray(d["coords"][0, :, 0, :]))
+    np.testing.assert_allclose(np.asarray(out), d["ref"], rtol=1e-4, atol=1e-5)
 
 
 def test_grid_sample_views_shape(rng):
@@ -52,17 +54,13 @@ def test_gather_pixels(rng):
     np.testing.assert_allclose(out[1], img[5, 6])
 
 
-def test_pool3d_matches_torch(rng):
-    import torch
-    import torch.nn.functional as F
-    vol = rng.random((9, 8, 7)).astype(np.float32)
-    t = torch.from_numpy(vol)[None, None]
+def test_pool3d_matches_torch():
+    d = _golden("pool3d.npz")
+    vol = jnp.asarray(d["vol"])
     for k in (3, 5):
-        ref_max = F.max_pool3d(t, k, 1, k // 2)[0, 0].numpy()
-        ref_avg = F.avg_pool3d(t, k, 1, k // 2)[0, 0].numpy()
-        np.testing.assert_allclose(np.asarray(max_pool3d(jnp.asarray(vol), k)), ref_max,
+        np.testing.assert_allclose(np.asarray(max_pool3d(vol, k)), d[f"max{k}"],
                                    rtol=1e-6)
-        np.testing.assert_allclose(np.asarray(avg_pool3d(jnp.asarray(vol), k)), ref_avg,
+        np.testing.assert_allclose(np.asarray(avg_pool3d(vol, k)), d[f"avg{k}"],
                                    rtol=1e-5, atol=1e-6)
 
 
