@@ -52,7 +52,6 @@ def build_buckets(points: jnp.ndarray, cap: int = 8,
 _OFFSETS_3 = np.stack(np.meshgrid(*[np.arange(-1, 2)] * 3, indexing="ij"), -1).reshape(-1, 3)
 
 
-@partial(jax.jit, static_argnames=())
 def gather_neighbors(buckets: VoxelBuckets, query_points: jnp.ndarray
                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """For (M, 3) query points, return (M, 27*cap) neighbor point indices and a

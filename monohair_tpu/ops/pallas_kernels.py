@@ -1,0 +1,137 @@
+"""Pallas TPU kernels for the PMVO hot loop.
+
+`patch_min_loss_fused` replaces the tap-streaming stage of
+pmvo.solver.patch_min_loss (the (V, N, S, P) projection-loss work that SURVEY
+§3.2 flags as the #1 kernel target, reference PMVO.py:151-209). The XLA
+fori_loop version materializes (V, N, S) temporaries in HBM on every one of the
+P=49/81 taps; this kernel keeps the whole tap loop in VMEM — one read of the
+inputs, one write of the (N, S) view-reduced outputs, ~P x less HBM traffic.
+
+Layout: the candidate-sample axis S is padded to the 128-lane boundary; the
+grid runs over N tiles; V and P are static in-kernel loops on VMEM blocks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(prj_r_ref, prj_c_ref, ori_r_ref, ori_c_ref, conf_ref, vis_ref,
+            thr_ref, num_ref, den_ref, cnt_ref, *, V: int, P: int):
+    thr = thr_ref[0]
+    prj_r = prj_r_ref[:]                     # (V, TN, S)
+    prj_c = prj_c_ref[:]
+    prnorm = jnp.sqrt(prj_r * prj_r + prj_c * prj_c)
+
+    def tap(p):
+        o_r = ori_r_ref[:, :, p][:, :, None]     # (V, TN, 1)
+        o_c = ori_c_ref[:, :, p][:, :, None]
+        onorm = jnp.sqrt(o_r * o_r + o_c * o_c)
+        sim = jnp.abs(o_r * prj_r + o_c * prj_c) / jnp.maximum(onorm * prnorm, 1e-8)
+        return 1.0 - sim, conf_ref[:, :, p][:, :, None]
+
+    conf_all = conf_ref[:]                   # (V, TN, P)
+    high_conf = (jnp.max(conf_all, -1, keepdims=True) > thr)   # (V, TN, 1)
+
+    min_loss, conf0 = tap(0)
+    best_conf = conf0 * jnp.ones_like(min_loss)
+    for p in range(1, P):
+        loss_p, conf_p = tap(p)
+        better = loss_p < min_loss
+        take = jnp.where(high_conf, better & (conf_p > thr), better)
+        min_loss = jnp.where(take, loss_p, min_loss)
+        best_conf = jnp.where(take, conf_p * jnp.ones_like(loss_p), best_conf)
+
+    vis = vis_ref[:]                         # (V, TN, 1)
+    weight = jnp.where(vis == -1.0, 0.0, 1.0) * best_conf
+    num_ref[:] = jnp.sum(weight * min_loss, 0)
+    den_ref[:] = jnp.sum(weight, 0)
+    cnt_ref[:] = jnp.sum((weight > 0).astype(jnp.float32), 0)
+
+
+@functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))
+def patch_min_loss_fused(prj_dir: jnp.ndarray, ori_patch: jnp.ndarray,
+                         conf_patch: jnp.ndarray, visible: jnp.ndarray,
+                         conf_threshold: float, tile_n: int = 8,
+                         interpret: bool = False
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused tap loop + view reduction.
+
+    prj_dir: (V, N, S, 2); ori_patch: (V, N, P, 2); conf_patch: (V, N, P);
+    visible: (V, N). Returns (agg_num, agg_den, pos_cnt), each (N, S):
+    the weighted loss sum, weight sum and positive-weight count over views —
+    the aggregation tail (positive mask, argmin) stays in XLA.
+    """
+    V, N, S, _ = prj_dir.shape
+    P = ori_patch.shape[2]
+    S_pad = int(np.ceil(S / 128) * 128)
+    N_pad = int(np.ceil(N / tile_n) * tile_n)
+
+    def pad(x, n_axis, extra_axis=None, extra_to=None):
+        cfg = [(0, 0)] * x.ndim
+        cfg[n_axis] = (0, N_pad - N)
+        if extra_axis is not None:
+            cfg[extra_axis] = (0, extra_to - x.shape[extra_axis])
+        return jnp.pad(x, cfg)
+
+    prj_r = pad(prj_dir[..., 0], 1, 2, S_pad)
+    prj_c = pad(prj_dir[..., 1], 1, 2, S_pad)
+    ori_r = pad(ori_patch[..., 0], 1)
+    ori_c = pad(ori_patch[..., 1], 1)
+    conf = pad(conf_patch, 1)
+    vis = pad(visible, 1)[..., None]   # (V, N_pad, 1): TPU blocks need a lane dim
+    thr = jnp.asarray([conf_threshold], jnp.float32)
+
+    grid = (N_pad // tile_n,)
+    bs_vns = pl.BlockSpec((V, tile_n, S_pad), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    bs_vnp = pl.BlockSpec((V, tile_n, P), lambda i: (0, i, 0),
+                          memory_space=pltpu.VMEM)
+    bs_vn = pl.BlockSpec((V, tile_n, 1), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    bs_out = pl.BlockSpec((tile_n, S_pad), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((N_pad, S_pad), jnp.float32)
+
+    num, den, cnt = pl.pallas_call(
+        functools.partial(_kernel, V=V, P=P),
+        grid=grid,
+        in_specs=[bs_vns, bs_vns, bs_vnp, bs_vnp, bs_vnp, bs_vn,
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
+        out_specs=(bs_out, bs_out, bs_out),
+        out_shape=(out_shape, out_shape, out_shape),
+        interpret=interpret,
+    )(prj_r, prj_c, ori_r, ori_c, conf, vis, thr)
+    return num[:N, :S], den[:N, :S], cnt[:N, :S]
+
+
+def patch_min_loss_reference(prj_dir, ori_patch, conf_patch, visible,
+                             conf_threshold):
+    """Plain-XLA equivalent of the fused kernel (for A/B tests and CPU)."""
+    prnorm = jnp.linalg.norm(prj_dir, axis=-1)
+    high_conf = jnp.max(conf_patch, -1)[..., None] > conf_threshold
+
+    def tap(p):
+        o = ori_patch[:, :, p, :]
+        cosv = jnp.einsum("vnc,vnsc->vns", o, prj_dir)
+        denom = jnp.maximum(jnp.linalg.norm(o, axis=-1)[:, :, None] * prnorm, 1e-8)
+        return 1.0 - jnp.abs(cosv) / denom, conf_patch[:, :, p][:, :, None]
+
+    min_loss, conf0 = tap(0)
+    best_conf = conf0 * jnp.ones_like(min_loss)
+    for p in range(1, ori_patch.shape[2]):
+        loss_p, conf_p = tap(p)
+        better = loss_p < min_loss
+        take = jnp.where(high_conf, better & (conf_p > conf_threshold), better)
+        min_loss = jnp.where(take, loss_p, min_loss)
+        best_conf = jnp.where(take, conf_p * jnp.ones_like(loss_p), best_conf)
+    weight = jnp.where(visible[:, :, None] == -1.0, 0.0, 1.0) * best_conf
+    return (jnp.sum(weight * min_loss, 0), jnp.sum(weight, 0),
+            jnp.sum((weight > 0).astype(jnp.float32), 0))

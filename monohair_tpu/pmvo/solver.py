@@ -14,7 +14,7 @@ so peak memory is O(V*N*S) and everything fuses under one jit.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,53 +114,30 @@ def reproject_directions(maps: PMVOMaps, points: jnp.ndarray,
     return rc_s - rc_p[:, :, None, :]
 
 
-def patch_min_loss(prj_dir: jnp.ndarray, obs, conf_threshold: float
+def patch_min_loss(prj_dir: jnp.ndarray, obs, conf_threshold: float,
+                   use_pallas: Optional[bool] = None
                    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Aggregate the per-patch orientation agreement into a per-(point, sample)
     loss, then pick the best sample. Mirror of compute_prj_loss (PMVO.py:151-209).
 
     prj_dir: (V, N, S, 2) reprojected directions. Returns
     (min_loss (N,), best_sample (N,), high_conf (N,) bool).
+
+    The tap loop + view reduction runs as a fused Pallas kernel on TPU
+    (ops/pallas_kernels.py, ~P x less HBM traffic); plain XLA elsewhere.
     """
-    V, N, S, _ = prj_dir.shape
-    P = obs["conf_patch"].shape[-1]
-    ori_patch = obs["ori_patch"]                              # (V,N,P,2)
-    conf_patch = obs["conf_patch"]                            # (V,N,P)
-    high_conf_patch = jnp.max(conf_patch, -1) > conf_threshold  # (V,N)
+    from ..ops.pallas_kernels import patch_min_loss_fused, patch_min_loss_reference
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    fn = patch_min_loss_fused if use_pallas else patch_min_loss_reference
+    num, sum_w, sum_wp_raw = fn(prj_dir, obs["ori_patch"], obs["conf_patch"],
+                                obs["visible"], conf_threshold)
 
-    prj_norm = jnp.linalg.norm(prj_dir, axis=-1)              # (V,N,S)
-
-    def tap_loss(p):
-        o = ori_patch[:, :, p, :]                             # (V,N,2)
-        cosv = jnp.einsum("vnc,vnsc->vns", o, prj_dir)
-        denom = jnp.maximum(jnp.linalg.norm(o, axis=-1)[:, :, None] * prj_norm, 1e-8)
-        sim = jnp.abs(cosv) / denom                           # max(cos, -cos)
-        return 1.0 - sim, conf_patch[:, :, p]
-
-    def body(p, carry):
-        min_loss, best_conf = carry
-        loss_p, conf_p = tap_loss(p)
-        conf_b = conf_p[:, :, None]
-        better = loss_p < min_loss
-        accept_hc = better & (conf_b > conf_threshold)
-        take = jnp.where(high_conf_patch[:, :, None], accept_hc, better)
-        return (jnp.where(take, loss_p, min_loss),
-                jnp.where(take, conf_b * jnp.ones_like(loss_p), best_conf))
-
-    loss0, conf0 = tap_loss(0)
-    min_loss, best_conf = jax.lax.fori_loop(
-        1, P, body, (loss0, conf0[:, :, None] * jnp.ones_like(loss0)))
-
-    # per-view weights: zero when fully occluded, else the winning tap confidence
-    # (compute_weight, PMVO.py:211-215 — the mask line there is a no-op)
-    weight = jnp.where(obs["visible"][:, :, None] == -1.0, 0.0, 1.0) * best_conf
-    weight_pos = (weight > 0).astype(min_loss.dtype)
-    sum_w = jnp.sum(weight, 0)
-    sum_wp = jnp.maximum(jnp.sum(weight_pos, 0), 1e-6)
+    sum_wp = jnp.maximum(sum_wp_raw, 1e-6)
     positive = (sum_w / sum_wp) > conf_threshold              # (N,S)
     low_conf = jnp.sum(positive, -1) < 5                      # (N,)
 
-    agg = jnp.sum(min_loss * weight, 0) / jnp.maximum(sum_w, 1e-6)  # (N,S)
+    agg = num / jnp.maximum(sum_w, 1e-6)                      # (N,S)
     masked = jnp.where(positive, agg, 1.0)
     final = jnp.where(low_conf[:, None], agg, masked)
     best_sample = jnp.argmin(final, -1)

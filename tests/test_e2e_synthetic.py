@@ -31,7 +31,9 @@ def ring_cameras(num_views=24, radius=1.1, fx=1.7, fy=1.7):
     return Cameras.from_json_list(cam_list)
 
 
-def make_wig(num_strands=24, num_pts=30, rng=None):
+def make_wig(num_strands=24, num_pts=64, rng=None):
+    # num_pts chosen so consecutive points are < 1 voxel (2.5 mm) apart —
+    # the GT occupancy must be a connected tube, not a sparse comb
     """Vertical strands on a small circle, direction (0, -1, 0)."""
     rng = rng or np.random.default_rng(0)
     strands = []
@@ -81,17 +83,21 @@ def test_synthetic_wig_pipeline():
     strands = make_wig(rng=rng)
     maps = render_observation_maps(cams, strands)
 
-    # query points: jittered around true strand points + distractors far away
+    # query points: several jittered copies per strand point (the reference
+    # samples 4 points per fine voxel around the coarse mesh, PMVO.py:843-845,
+    # producing a 2-3 voxel thick occupancy tube) + distractors far away
     gt_pts = np.concatenate(strands)
-    queries = np.concatenate([
-        gt_pts + rng.normal(size=gt_pts.shape).astype(np.float32) * 0.002,
+    copies = [gt_pts + rng.normal(size=gt_pts.shape).astype(np.float32) * 0.001
+              for _ in range(4)]
+    queries = np.concatenate(copies + [
         (rng.random((300, 3)).astype(np.float32) - 0.5) * 0.6,
     ])
 
+    n_strand_q = 4 * len(gt_pts)
     surface, filt = filter_raw_points(maps, queries, 3, 0.4, 1.0, chunk=2048)
     # most strand-adjacent queries survive; most random distractors are masked out
-    assert surface[:len(gt_pts)].mean() > 0.8
-    assert surface[len(gt_pts):].mean() < 0.3
+    assert surface[:n_strand_q].mean() > 0.8
+    assert surface[n_strand_q:].mean() < 0.3
 
     pts, ori, loss, high = optimize_points(maps, queries[surface], 3, 0.4, chunk=2048)
     cos = np.abs(ori @ np.array([0.0, -1.0, 0.0]))
@@ -101,16 +107,20 @@ def test_synthetic_wig_pipeline():
         maps, pts, ori, loss, np.zeros((0, 3), np.float32), 3, 0.4, 1.0,
         threshold=0.1, chunk=2048)
 
-    # occupancy precision/recall vs the GT strand voxels
+    # occupancy precision/recall vs the GT strand voxels (precision against the
+    # one-ring dilated GT: the 2 mm query jitter legitimately spreads 1 voxel)
+    from monohair_tpu.ops.pool3d import max_pool3d
     gt_idx = np.asarray(voxel_indices(jnp.asarray(gt_pts)))
     gt_occ = np.zeros_like(occ)
     gt_occ[gt_idx[:, 0], gt_idx[:, 1], gt_idx[:, 2]] = 1
+    gt_dilated = np.asarray(max_pool3d(jnp.asarray(gt_occ), 3))
     pred = occ > 0
-    tp = float((pred & (gt_occ > 0)).sum())
-    precision = tp / max(pred.sum(), 1)
-    recall = tp / max(gt_occ.sum(), 1)
-    assert recall > 0.5, f"recall={recall}"
-    assert precision > 0.2, f"precision={precision}"  # jitter spreads to neighbors
+    pred_dilated = np.asarray(max_pool3d(jnp.asarray(pred.astype(np.float32)), 3)) > 0
+    # every GT voxel must have a predicted voxel within one ring, and vice versa
+    recall = float((pred_dilated & (gt_occ > 0)).sum()) / max(gt_occ.sum(), 1)
+    precision = float((pred & (gt_dilated > 0)).sum()) / max(pred.sum(), 1)
+    assert recall > 0.8, f"recall={recall}"
+    assert precision > 0.8, f"precision={precision}"
 
     # grid directions agree with the true strand direction
     xs, ys, zs = np.nonzero(gt_occ * occ)
