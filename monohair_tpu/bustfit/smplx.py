@@ -112,8 +112,9 @@ def lbs_forward(model: SMPLXModel, betas: jnp.ndarray, pose: jnp.ndarray,
 
 def random_test_model(rng: np.random.Generator, num_verts: int = 64,
                       num_joints: int = 4, num_betas: int = 5) -> SMPLXModel:
-    """A tiny synthetic model for unit tests (no external assets)."""
-    verts = rng.random((num_verts, 3)).astype(np.float32)
+    """A tiny synthetic model for unit tests (no external assets); vertices
+    centered at the origin so ring-camera fixtures see the whole model."""
+    verts = ((rng.random((num_verts, 3)) - 0.5) * 0.4).astype(np.float32)
     parents = np.array([-1] + [j // 2 for j in range(num_joints - 1)])
     Jr = rng.random((num_joints, num_verts)).astype(np.float32)
     Jr /= Jr.sum(-1, keepdims=True)

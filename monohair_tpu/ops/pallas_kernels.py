@@ -38,22 +38,25 @@ def _kernel(prj_r_ref, prj_c_ref, ori_r_ref, ori_c_ref, conf_ref, vis_ref,
         return 1.0 - sim, conf_ref[:, :, p][:, :, None]
 
     conf_all = conf_ref[:]                   # (V, TN, P)
-    high_conf = (jnp.max(conf_all, -1, keepdims=True) > thr)   # (V, TN, 1)
+    # all masks as f32 {0,1} arithmetic — Mosaic cannot lower broadcasted
+    # boolean selects ("unsupported target bitwidth for truncation")
+    hc = jnp.where(jnp.max(conf_all, -1, keepdims=True) > thr, 1.0, 0.0)
 
     min_loss, conf0 = tap(0)
     best_conf = conf0 * jnp.ones_like(min_loss)
     for p in range(1, P):
         loss_p, conf_p = tap(p)
-        better = loss_p < min_loss
-        take = jnp.where(high_conf, better & (conf_p > thr), better)
-        min_loss = jnp.where(take, loss_p, min_loss)
-        best_conf = jnp.where(take, conf_p * jnp.ones_like(loss_p), best_conf)
+        better = jnp.where(loss_p < min_loss, 1.0, 0.0)
+        accept = jnp.where(conf_p > thr, 1.0, 0.0)
+        take = hc * (better * accept) + (1.0 - hc) * better
+        min_loss = take * loss_p + (1.0 - take) * min_loss
+        best_conf = take * conf_p + (1.0 - take) * best_conf
 
     vis = vis_ref[:]                         # (V, TN, 1)
     weight = jnp.where(vis == -1.0, 0.0, 1.0) * best_conf
     num_ref[:] = jnp.sum(weight * min_loss, 0)
     den_ref[:] = jnp.sum(weight, 0)
-    cnt_ref[:] = jnp.sum((weight > 0).astype(jnp.float32), 0)
+    cnt_ref[:] = jnp.sum(jnp.where(weight > 0, 1.0, 0.0), 0)
 
 
 @functools.partial(jax.jit, static_argnames=("tile_n", "interpret"))

@@ -32,8 +32,16 @@ def cubic_interp(p1, p2, n1, n2, num_interp: int):
 
 
 def compute_similar(a, b):
+    """Clamped cosine (Utils.py compute_similar) — for voxel-scale vectors only;
+    the 1e-4 denominator floor would zero out millimeter-scale world deltas."""
     return (np.sum(a * b, -1)
             / np.maximum(np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-4))
+
+
+def cosine(a, b):
+    """Unclamped cosine (HairGrow.py:552-553 find_best_connect_strands)."""
+    return (np.sum(a * b, -1)
+            / np.maximum(np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12))
 
 
 def strand_occupancy_stats(strand_voxel: np.ndarray, occ: np.ndarray,
@@ -92,7 +100,7 @@ class SegmentConnector:
         """find_best_connect_strands (HairGrow.py:550-587)."""
         if len(nei_idx) == 0:
             return None
-        sim = compute_similar(np.repeat(end_ori, len(nei_oris), 0), nei_oris)
+        sim = cosine(np.repeat(end_ori, len(nei_oris), 0), nei_oris)
         if kind in ("root2root", "tip2tip"):
             ok = sim < -self.dot_thr
         else:

@@ -1,0 +1,101 @@
+"""Segment connection, scalp attachment, occupancy validation."""
+
+import numpy as np
+
+from monohair_tpu.strands.connect import (SegmentConnector, attach_roots_to_scalp,
+                                          connect_all_segments, connect_to_scalp,
+                                          cubic_interp, strand_occupancy_stats)
+
+
+def line_strand(y0, y1, n, x=5.0, z=5.0):
+    return np.stack([np.full(n, x), np.linspace(y0, y1, n), np.full(n, z)], -1)
+
+
+def test_connector_links_collinear_segments():
+    """Two collinear segments whose tip/root nearly touch must connect
+    (find_connect_info tip2root path, HairGrow.py:493-511)."""
+    s1 = line_strand(0.00, 0.02, 10)    # root at y=0, tip at y=0.02
+    s2 = line_strand(0.021, 0.04, 10)   # root just above s1's tip
+    conn = SegmentConnector([s1, s2], connect_threshold=0.005,
+                            connect_dot_threshold=0.7)
+    infos = conn.find_connect_info()
+    assert infos[0]["tip"] is not None and infos[0]["tip"][0] == 1
+    joined = conn.chain(infos, 0)
+    assert joined.shape[0] == 19  # 10 + (10-1) translated points
+    # monotone y and continuous steps
+    dy = np.diff(joined[:, 1])
+    assert (dy > 0).all()
+    assert dy.max() < 0.004
+
+
+def test_connector_rejects_misaligned():
+    s1 = line_strand(0.00, 0.02, 10)
+    s2 = np.stack([np.linspace(5.0, 5.02, 10), np.full(10, 0.021),
+                   np.full(10, 5.0)], -1)  # perpendicular
+    conn = SegmentConnector([s1, s2], 0.005, 0.9)
+    infos = conn.find_connect_info()
+    assert infos[0]["tip"] is None
+
+
+def test_occupancy_stats():
+    occ = np.zeros((16, 16, 16), np.float32)
+    occ[8, 4:12, 8] = 1
+    ori = np.zeros((16, 16, 16, 3), np.float32)
+    ori[..., 1] = 1.0
+    inside = np.stack([np.full(8, 8.0), np.arange(4, 12, 1.0), np.full(8, 8.0)], -1)
+    in_ratio, sim, ok = strand_occupancy_stats(inside, occ, ori)
+    assert ok and in_ratio == 1.0 and sim > 0.9
+    outside = inside + np.array([30.0, 0, 0])
+    _, _, ok2 = strand_occupancy_stats(outside, occ, ori)
+    assert not ok2
+
+
+def test_connect_all_segments_runs():
+    occ = np.ones((64, 64, 64), np.float32)
+    ori = np.zeros((64, 64, 64, 3), np.float32)
+    ori[..., 1] = -1.0
+    # world coords that land inside the voxel grid (vmin -0.32, vsize 0.0025
+    # would need huge grids; use matching custom bounds instead)
+    vmin = np.array([-0.08, -0.08, -0.08])
+    vsize = 0.0025
+    s1 = line_strand(0.00, 0.02, 10, x=0.0, z=0.0)
+    s2 = line_strand(0.021, 0.04, 10, x=0.0, z=0.0)
+    out = connect_all_segments([s1, s2], occ, ori, 0.005, 0.7, vmin, vsize,
+                               in_ratio_threshold=0.5)
+    assert len(out) == 2
+    assert max(len(s) for s in out) >= 19
+
+
+def test_connect_to_scalp_attaches():
+    occ = np.ones((40, 40, 40), np.float32)
+    ori = np.zeros((40, 40, 40, 3), np.float32)
+    ori[..., 1] = 1.0
+    # good strand (rooted): long vertical; rootless strand starts 1-2 voxels
+    # off (strands that already hug a good strand are skipped as duplicates,
+    # HairGrow.py:703-705, so it must be near but not on it)
+    good = np.stack([np.full(30, 20.0), np.arange(5.0, 35.0), np.full(30, 20.0)], -1)
+    loose = np.stack([np.full(10, 21.2), np.arange(21.0, 31.0), np.full(10, 21.0)], -1)
+    out = connect_to_scalp([good, loose], num_root=1, occ=occ, ori_voxel=ori,
+                           out_ratio_threshold=0.5)
+    assert len(out) == 2
+    # the loose strand gained a prefix reaching down toward the good strand root
+    attached = out[1]
+    assert attached.shape[0] > 10
+    assert attached[0, 1] < 21.0
+
+
+def test_attach_roots_to_scalp():
+    scalp_pts = np.array([[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]])
+    scalp_n = np.array([[0.0, 1.0, 0.0], [0.0, 1.0, 0.0]])
+    strand = np.stack([np.zeros(5), np.arange(3.0, 8.0), np.zeros(5)], -1)
+    out = attach_roots_to_scalp([strand], scalp_pts, scalp_n)[0]
+    assert out.shape[0] > 5
+    np.testing.assert_allclose(out[0], [0, 0, 0], atol=1e-9)
+
+
+def test_cubic_interp_endpoints():
+    s = cubic_interp(np.zeros(3), np.array([0, 4.0, 0]), np.array([0, 1.0, 0]),
+                     np.array([0, 1.0, 0]), 4)
+    np.testing.assert_allclose(s[0], [0, 0, 0], atol=1e-12)
+    np.testing.assert_allclose(s[-1], [0, 4, 0], atol=1e-12)
+    assert len(s) == 5
