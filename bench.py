@@ -25,6 +25,8 @@ BASELINE_POINTS_PER_SEC = 1000.0
 
 def main():
     import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
     from monohair_tpu.camera import Cameras
     from monohair_tpu.pmvo.solver import PMVOMaps, pmvo_forward
@@ -58,19 +60,29 @@ def main():
     points = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
 
     from functools import partial
-    # maps passed as an argument (closure would bake them into the HLO as
-    # constants — hundreds of MB of program payload)
-    base = jax.jit(partial(pmvo_forward, patch_size=7, conf_threshold=0.15))
 
-    # reduce outputs on device and vary the input per iteration so no caching /
-    # async-dispatch artifact can skip work; each iter forces a host read-back
-    def fwd(maps, p):
-        pts, ori, loss, high = base(maps, p)
-        return jnp.sum(ori) + jnp.sum(loss)
+    def make_fwd(use_pallas):
+        # maps passed as an argument (closure would bake them into the HLO as
+        # constants — hundreds of MB of program payload). Outputs reduce on
+        # device and the input varies per iteration so no caching/async-dispatch
+        # artifact can skip work; each iter forces a host read-back.
+        base = partial(pmvo_forward, patch_size=7, conf_threshold=0.15,
+                       use_pallas=use_pallas)
 
-    fwd = jax.jit(fwd)
+        def fwd(maps, p):
+            pts, ori, loss, high = base(maps, p)
+            return jnp.sum(ori) + jnp.sum(loss)
+
+        return jax.jit(fwd)
+
     shift = jnp.asarray(np.float32(1e-5))
-    _ = float(fwd(maps, points))  # warmup/compile
+    try:
+        fwd = make_fwd(None)          # Pallas kernel on TPU
+        _ = float(fwd(maps, points))  # warmup/compile
+    except Exception as e:            # Mosaic regression -> plain XLA fallback
+        print(f"# pallas path failed ({type(e).__name__}); falling back to XLA")
+        fwd = make_fwd(False)
+        _ = float(fwd(maps, points))
 
     iters = 5
     t0 = time.perf_counter()

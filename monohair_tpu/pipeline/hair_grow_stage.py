@@ -32,8 +32,11 @@ def run_hair_grow(args: Config) -> None:
     root = args.data.root
     save_path = os.path.join(args.output_path,
                              "full" if args.PMVO.infer_inner else "refine")
-    occ = load_occ_mat(os.path.join(save_path, "Occ3D.mat"))
-    ori_world = load_ori_mat(os.path.join(save_path, "Ori3D.mat"))
+    want_diffusion = bool(args.get("scalp_diffusion"))
+    have_diffusion = os.path.exists(os.path.join(save_path, "Occ3D_diffusion.mat"))
+    suffix = "_diffusion" if (want_diffusion and have_diffusion) else ""
+    occ = load_occ_mat(os.path.join(save_path, f"Occ3D{suffix}.mat"))
+    ori_world = load_ori_mat(os.path.join(save_path, f"Ori3D{suffix}.mat"))
     ori_voxel = ori_world * np.array([1, -1, -1], np.float32)  # HairGrow.py:55-56
 
     # 60k scalp seeds in voxel space (HairGrow.py:880-900)
@@ -44,6 +47,21 @@ def run_hair_grow(args: Config) -> None:
     sp_vox = np.asarray(world_to_voxel(sp.astype(np.float32)))
     sn = sn / np.maximum(np.linalg.norm(sn, axis=-1, keepdims=True), 1e-12)
     sn_vox = (sn * np.array([1, -1, -1])).astype(np.float32)
+
+    if want_diffusion and not have_diffusion:
+        # extend the field from the scalp through empty shells
+        # (diffusion_scalp, PMVO_utils.py:467-593), persist like the reference
+        # (HairGrow.py:859-871 reads the _diffusion suffix)
+        import jax.numpy as jnp
+        from ..io.mat_io import save_occ_ori_mat
+        from ..strands.scalp_diffusion import diffuse_scalp
+        new_ori_v, new_occ = diffuse_scalp(jnp.asarray(occ), jnp.asarray(ori_voxel),
+                                           jnp.asarray(sp_vox), jnp.asarray(sn_vox))
+        occ = np.asarray(new_occ)
+        ori_voxel = np.asarray(new_ori_v)
+        save_occ_ori_mat(save_path, occ,
+                         ori_voxel * np.array([1, -1, -1], np.float32),
+                         suffix="_diffusion")
 
     hg = args.HairGenerate
     if hg.generate_segments:

@@ -198,7 +198,8 @@ def sample_candidate_positions(maps: PMVOMaps, points: jnp.ndarray,
 
 def pmvo_forward(maps: PMVOMaps, points: jnp.ndarray, patch_size: int,
                  conf_threshold: float, num_sample: int = 90,
-                 num_base_candidates: int = 10
+                 num_base_candidates: int = 10,
+                 use_pallas: Optional[bool] = None
                  ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One PMVO chunk: best 3D line direction per point.
 
@@ -218,7 +219,8 @@ def pmvo_forward(maps: PMVOMaps, points: jnp.ndarray, patch_size: int,
         samples, surface = sample_candidate_positions(maps, points, b_view,
                                                       offsets, obs["ori"])
         prj = reproject_directions(maps, points, samples)
-        loss, best_s, high_conf = patch_min_loss(prj, obs, conf_threshold)
+        loss, best_s, high_conf = patch_min_loss(prj, obs, conf_threshold,
+                                                 use_pallas)
         best_pts = jnp.take_along_axis(
             samples, best_s[:, None, None], 1)[:, 0]          # (N,3)
         return loss, best_pts, surface, high_conf
