@@ -21,7 +21,10 @@ def resolve_config(argv: List[str]) -> Config:
     """CLI -> resolved config with the reference's path conventions
     (PMVO.py:767-800 config_parser)."""
     opt_cmd = parse_arguments(argv)
-    args = set_options(opt_cmd)
+    # strict: a typo'd CLI key raises instead of being silently accepted
+    # (the reference prompts interactively, options.py:86-93 — batch jobs
+    # can't answer prompts, so failing fast is the non-interactive analogue)
+    args = set_options(opt_cmd, allow_new=False)
     args["output_path"] = os.path.join(args.data.root, args.data.case,
                                        args.get("output_root", "output"),
                                        str(args.get("name", "run")))
