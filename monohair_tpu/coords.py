@@ -22,12 +22,14 @@ from .constants import GRID_RESOLUTION, VOXEL_MIN, VOXEL_SIZE
 
 def world_to_voxel(points: jnp.ndarray, voxel_min=VOXEL_MIN, voxel_size=VOXEL_SIZE) -> jnp.ndarray:
     """(..., 3) world points -> continuous voxel coordinates (PMVO_utils.py:415-421)."""
+    points = jnp.asarray(points, jnp.float32)
     flipped = points * jnp.array([1.0, -1.0, -1.0], points.dtype)
     return (flipped - jnp.asarray(voxel_min, points.dtype)) / voxel_size
 
 
 def voxel_to_world(voxels: jnp.ndarray, voxel_min=VOXEL_MIN, voxel_size=VOXEL_SIZE) -> jnp.ndarray:
     """(..., 3) continuous voxel coordinates -> world points (PMVO_utils.py:407-413)."""
+    voxels = jnp.asarray(voxels, jnp.float32)  # host float64 arrays truncate anyway
     pts = voxels * voxel_size + jnp.asarray(voxel_min, voxels.dtype)
     return pts * jnp.array([1.0, -1.0, -1.0], pts.dtype)
 

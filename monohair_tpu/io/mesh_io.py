@@ -20,20 +20,45 @@ def load_obj(path: str) -> Tuple[np.ndarray, np.ndarray]:
     Handles `v x y z` and `f a b c` / `f a/b/c ...` lines; polygons are
     fan-triangulated. Ignores normals/uvs/materials.
     """
-    verts, faces = [], []
+    v, fa, _, _ = load_obj_with_uv(path)
+    return v, fa
+
+
+def load_obj_with_uv(path: str):
+    """Parse an OBJ with texture coordinates.
+
+    Returns (vertices (V,3), faces (F,3), uvs (T,2), face_uvs (F,3) int64 or
+    None) — face_uvs index into uvs per face corner.
+    """
+    verts, faces, uvs, face_uvs = [], [], [], []
     with open(path) as f:
         for line in f:
             if line.startswith("v "):
                 parts = line.split()
                 verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("vt "):
+                parts = line.split()
+                uvs.append([float(parts[1]), float(parts[2])])
             elif line.startswith("f "):
-                idx = [int(p.split("/")[0]) for p in line.split()[1:]]
-                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
-                for k in range(1, len(idx) - 1):
-                    faces.append([idx[0], idx[k], idx[k + 1]])
+                toks = line.split()[1:]
+                vidx, tidx = [], []
+                for p in toks:
+                    comp = p.split("/")
+                    i = int(comp[0])
+                    vidx.append(i - 1 if i > 0 else len(verts) + i)
+                    if len(comp) > 1 and comp[1]:
+                        t = int(comp[1])
+                        tidx.append(t - 1 if t > 0 else len(uvs) + t)
+                for k in range(1, len(vidx) - 1):
+                    faces.append([vidx[0], vidx[k], vidx[k + 1]])
+                    if len(tidx) == len(vidx):
+                        face_uvs.append([tidx[0], tidx[k], tidx[k + 1]])
     v = np.array(verts, dtype=np.float64)
     fa = np.array(faces, dtype=np.int64) if faces else np.zeros((0, 3), np.int64)
-    return v, fa
+    uv = np.array(uvs, dtype=np.float64) if uvs else np.zeros((0, 2))
+    fuv = (np.array(face_uvs, dtype=np.int64)
+           if face_uvs and len(face_uvs) == len(faces) else None)
+    return v, fa, uv, fuv
 
 
 def save_obj(path: str, vertices: np.ndarray, faces: Optional[np.ndarray] = None) -> None:

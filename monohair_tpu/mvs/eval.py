@@ -139,7 +139,11 @@ def load_mvs_inputs(case_dir: str, calib_path: str, views_subdir: str = "imgs"
         m = (m >= 0.5).astype(np.float32)
         imgs.append(np.concatenate([orient, hair_d, bust_d], -1).astype(np.float32))
         masks.append(m)
-    tsfm = np.fromfile(os.path.join(case_dir, "model_tsfm.dat"),
-                       dtype=np.float32).reshape(4, 4).T
+    tsfm_path = os.path.join(case_dir, "model_tsfm.dat")
+    if os.path.exists(tsfm_path):
+        tsfm = np.fromfile(tsfm_path, dtype=np.float32).reshape(4, 4).T
+    else:
+        # wig captures skip bust fitting (prepare_data.py:127-128); identity
+        tsfm = np.eye(4, dtype=np.float32)
     return MVSInputs(jnp.asarray(np.stack(imgs)), jnp.asarray(np.stack(masks)),
                      cams.w2c, cams.ndc, tsfm), views

@@ -46,7 +46,8 @@ def run_infer_inner(args: Config, mesh=None) -> None:
         bust_v = bust_v + BUST_TO_ORIGIN
         names, cams = load_cam_params(args.camera_path)
         names, cams = subsample_views(names, cams)
-        render_data(cams, names, strands, bust_v, bust_f, (1280, 720),
+        rsize = tuple(args.infer_inner.get("render_size", [1280, 720]))
+        render_data(cams, names, strands, bust_v, bust_f, rsize,
                     os.path.join(root, "imgs"))
 
     if args.infer_inner.run_mvs:
@@ -56,8 +57,10 @@ def run_infer_inner(args: Config, mesh=None) -> None:
         ori_model = OriAttn(num_views=V)
         occ_vars = _load_variables(args, "occ", occ_model, inputs)
         ori_vars = _load_variables(args, "ori", ori_model, inputs)
+        vsize = float(args.get("mvs", {}).get("eval_vsize", 0.005))
         deep_mvs_eval(inputs, occ_model, occ_vars, ori_model, ori_vars,
-                      save_folder=os.path.join(root, "ours"), mesh=mesh)
+                      save_folder=os.path.join(root, "ours"), mesh=mesh,
+                      vsize=vsize)
 
         fuse_args = Config(args.to_dict())
         fuse_args.PMVO["infer_inner"] = True

@@ -195,7 +195,9 @@ def refine_and_voxelize(maps: PMVOMaps, points: np.ndarray, ori: np.ndarray,
 
     sel_o = np.asarray(canonicalize_down(jnp.asarray(sel_o)))
     occ, ori_grid = voxelize_directions(jnp.asarray(sel_p), jnp.asarray(sel_o))
-    occ, ori_grid = np.asarray(occ), np.asarray(ori_grid)
+    # np.array (copy): np.asarray of a device array is a read-only view and the
+    # coarse-fusion branch writes into these grids
+    occ, ori_grid = np.array(occ), np.array(ori_grid)
 
     # fuse coarse interior (infer_inner branch, PMVO.py:733-751)
     if coarse_raw is not None and len(coarse_raw):
