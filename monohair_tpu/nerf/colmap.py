@@ -50,7 +50,11 @@ def read_images_txt(path: str) -> Dict[str, Tuple[np.ndarray, int]]:
     out = {}
     with open(path) as f:
         lines = [ln for ln in f if not ln.startswith("#") and ln.strip()]
-    for ln in lines[::2]:  # every other line is 2D points
+    # pose lines have exactly 10 fields ending in the image name; the alternate
+    # 2D-point lines have 3N numeric fields (possibly empty and stripped)
+    pose_lines = [ln for ln in lines
+                  if len(ln.split()) == 10 and "." in ln.split()[9]]
+    for ln in pose_lines:
         el = ln.split()
         q = np.array(list(map(float, el[1:5])))
         t = np.array(list(map(float, el[5:8])))
