@@ -21,6 +21,28 @@ from .poses import (auto_key_frame, convert_mesh_nerf_to_mvs, load_base_cam,
 from .train import load_nerf_dataset, render_image, train_nerf
 
 
+def render_camera_path_video(field, variables, base_cam_path: str, out_path: str,
+                             H: int = 720, W: int = 1280, frames_per_seg: int = 12,
+                             fps: int = 24) -> None:
+    """Render a fly-through along the camera path and write an mp4
+    (the NGP driver's video mode, run.py:307-341), interpolating between the
+    path's poses with slerp."""
+    from scipy.spatial.transform import Rotation, Slerp
+    quats, trans, fovs = load_base_cam(base_cam_path)
+    writer = cv2.VideoWriter(out_path, cv2.VideoWriter_fourcc(*"mp4v"), fps, (W, H))
+    for i in range(len(quats) - 1):
+        slerp = Slerp([0, 1], Rotation.from_quat([quats[i], quats[i + 1]]))
+        for t in np.linspace(0.0, 1.0, frames_per_seg, endpoint=False):
+            rotm = slerp(t).as_quat()
+            tr = (1 - t) * np.asarray(trans[i]) + t * np.asarray(trans[i + 1])
+            fov = (1 - t) * fovs[i] + t * fovs[i + 1]
+            c2w = ngp_pose_to_nerf_c2w(rotm, tr)
+            fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
+            rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2)
+            writer.write((np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))
+    writer.release()
+
+
 def run_ngp_stage(args: Config) -> None:
     root = args.data.root
     colmap_dir = os.path.join(root, "colmap")
@@ -49,6 +71,11 @@ def run_ngp_stage(args: Config) -> None:
         os.makedirs(view_dir, exist_ok=True)
         shutil.copyfile(os.path.join(shot_dir, name + ".png"),
                         os.path.join(view_dir, "origin.png"))
+
+    if args.get("ngp", {}).get("render_video"):
+        render_camera_path_video(field, variables,
+                                 os.path.join(colmap_dir, "base_cam.json"),
+                                 os.path.join(root, "ngp_video.mp4"))
 
     # mesh export: density grid -> marching tetrahedra -> base.obj (NeRF frame)
     res = 256

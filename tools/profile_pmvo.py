@@ -3,20 +3,34 @@
 candidate loop vs patch loss (Pallas vs XLA). Guides kernel work."""
 
 import math
+import os
+import sys
 import time
 from functools import partial
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def timed(fn, *args, iters=5):
+    """block_until_ready does not synchronize on the axon tunnel; force a host
+    read of a device-side reduction instead."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    import jax.numpy as jnp
+
+    def reduced(*a):
+        out = fn(*a)
+        leaves = jax.tree_util.tree_leaves(out)
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    red = jax.jit(reduced)
+    float(red(*args))  # warmup
     t0 = time.perf_counter()
+    acc = 0.0
     for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        acc += float(red(*args))
+    assert np.isfinite(acc)
     return (time.perf_counter() - t0) / iters
 
 
@@ -54,21 +68,21 @@ def main():
 
     obs_fn = jax.jit(lambda m, p: observe_points(m, p, 7))
     t_obs = timed(obs_fn, maps, points)
-    print(f"observe_points (gathers): {t_obs*1e3:.1f} ms")
+    print(f"observe_points (gathers): {t_obs*1e3:.1f} ms", flush=True)
 
     obs = obs_fn(maps, points)
     samples = jnp.asarray(rng.normal(size=(N, S, 3)).astype(np.float32) * 0.05)
     rp = jax.jit(lambda m, p, s: reproject_directions(m, p, s))
     t_rp = timed(rp, maps, points, samples)
-    print(f"reproject_directions:      {t_rp*1e3:.1f} ms (x10 candidates)")
+    print(f"reproject_directions:      {t_rp*1e3:.1f} ms (x10 candidates)", flush=True)
 
     prj = rp(maps, points, samples)
     for name, fn in (("pallas", patch_min_loss_fused),
                      ("xla", patch_min_loss_reference)):
-        f = jax.jit(lambda pr, o=obs: fn(pr, o["ori_patch"], o["conf_patch"],
-                                         o["visible"], 0.15))
-        t = timed(f, prj)
-        print(f"patch loss [{name}]:        {t*1e3:.1f} ms (x10 candidates)")
+        f = jax.jit(lambda pr, op, cp, vis: fn(pr, op, cp, vis, 0.15))
+        t = timed(f, prj, obs["ori_patch"], obs["conf_patch"], obs["visible"])
+        print(f"patch loss [{name}]:        {t*1e3:.1f} ms (x10 candidates)",
+              flush=True)
 
     for up in (None, False):
         fw = jax.jit(partial(pmvo_forward, patch_size=7, conf_threshold=0.15,
