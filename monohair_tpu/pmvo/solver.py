@@ -69,17 +69,25 @@ def observe_points(maps: PMVOMaps, points: jnp.ndarray, patch_size: int):
     uv, z = project(maps.cameras, points)                     # (V,N,2),(V,N)
     rc, invalid = pixel_index_and_validity(uv, (H, W))
 
-    def per_view(depth, ori2d, conf, mask, rc_v):
-        d = gather_pixels(depth, rc_v)
-        o = gather_pixels(ori2d, rc_v)
-        c = gather_pixels(conf, rc_v)
-        m = gather_pixels(mask, rc_v)
-        op = gather_patches(ori2d, rc_v, patch_size)          # (N,P,2)
-        cp = gather_patches(conf, rc_v, patch_size)           # (N,P)
-        return d, o, c, m, op, cp
+    # pack per-pixel channels so each tap is ONE gather of a contiguous vector
+    # (XLA TPU gathers with a contiguous minor dim are far cheaper than four
+    # separate scalar gathers; profiling showed the gathers dominating PMVO)
+    packed = jnp.concatenate([maps.ori2d, maps.conf[..., None],
+                              maps.depth[..., None], maps.mask[..., None]], -1)
 
-    d, o, c, m, op, cp = jax.vmap(per_view)(maps.depth, maps.ori2d, maps.conf,
-                                            maps.mask, rc)
+    def per_view(pk, rc_v):
+        patch = gather_patches(pk, rc_v, patch_size)          # (N,P,5)
+        return patch
+
+    patch = jax.vmap(per_view)(packed, rc)                    # (V,N,P,5)
+    half = patch_size // 2
+    center = patch[:, :, (half * patch_size) + half, :]       # the (0,0) tap
+    op = patch[..., 0:2]
+    cp = patch[..., 2]
+    o = center[..., 0:2]
+    c = center[..., 2]
+    d = center[..., 3]
+    m = center[..., 4]
     vis = compute_visible(d, -z / 2.0 * 255.0)
     vis = jnp.where(invalid, -1.0, vis)
     return dict(uv=uv, z=z, rc=rc, invalid=invalid, depth=d, visible=vis,
