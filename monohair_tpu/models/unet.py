@@ -86,3 +86,22 @@ class UNetSimple(nn.Module):
         u2 = up(u1, d1, c[1], "up2")
         u3 = up(u2, f0, c[0], "up3")
         return d3, u1, u2, u3
+
+
+class ShallowEncoder(nn.Module):
+    """Encoder-only ablation backbone (UnetSimple.py:104-143): three conv
+    stages, no decoder; 112-dim pixel-aligned feature."""
+    ksize: int = 5
+    num_chan: Sequence[int] = (16, 32, 64)
+
+    @property
+    def output_feat(self) -> int:
+        return sum(self.num_chan)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False):
+        c = self.num_chan
+        f0 = DoubleConv(c[0], self.ksize, name="inc")(x, train)
+        d1 = DoubleConv(c[1], self.ksize, name="down1")(nn.max_pool(f0, (2, 2), (2, 2)), train)
+        d2 = DoubleConv(c[2], self.ksize, name="down2")(nn.max_pool(d1, (2, 2), (2, 2)), train)
+        return f0, d1, d2
