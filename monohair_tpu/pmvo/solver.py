@@ -71,23 +71,24 @@ def observe_points(maps: PMVOMaps, points: jnp.ndarray, patch_size: int):
 
     # pack per-pixel channels so each tap is ONE gather of a contiguous vector
     # (XLA TPU gathers with a contiguous minor dim are far cheaper than four
-    # separate scalar gathers; profiling showed the gathers dominating PMVO)
-    packed = jnp.concatenate([maps.ori2d, maps.conf[..., None],
-                              maps.depth[..., None], maps.mask[..., None]], -1)
+    # separate scalar gathers; profiling showed the gathers dominating PMVO).
+    # Only ori+conf need the full patch; depth/mask read the center tap alone,
+    # so they live in a second 16-byte-aligned map gathered once per point.
+    patch_map = jnp.concatenate([maps.ori2d, maps.conf[..., None],
+                                 jnp.zeros_like(maps.conf)[..., None]], -1)
+    center_map = jnp.stack([maps.depth, maps.mask], -1)
 
-    def per_view(pk, rc_v):
-        patch = gather_patches(pk, rc_v, patch_size)          # (N,P,5)
-        return patch
-
-    patch = jax.vmap(per_view)(packed, rc)                    # (V,N,P,5)
+    patch = jax.vmap(lambda pk, rc_v: gather_patches(pk, rc_v, patch_size))(
+        patch_map, rc)                                        # (V,N,P,4)
+    dm = jax.vmap(gather_pixels)(center_map, rc)              # (V,N,2)
     half = patch_size // 2
     center = patch[:, :, (half * patch_size) + half, :]       # the (0,0) tap
     op = patch[..., 0:2]
     cp = patch[..., 2]
     o = center[..., 0:2]
     c = center[..., 2]
-    d = center[..., 3]
-    m = center[..., 4]
+    d = dm[..., 0]
+    m = dm[..., 1]
     vis = compute_visible(d, -z / 2.0 * 255.0)
     vis = jnp.where(invalid, -1.0, vis)
     return dict(uv=uv, z=z, rc=rc, invalid=invalid, depth=d, visible=vis,
