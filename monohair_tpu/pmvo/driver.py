@@ -35,17 +35,29 @@ def _pad_to(arr: np.ndarray, size: int):
     return np.concatenate([arr, reps], 0), size - pad
 
 
+def auto_chunk(num_views: int, target: int = 8192, base_views: int = 16,
+               minimum: int = 2048) -> int:
+    """Point-chunk size scaled to the view count: the working set is
+    O(V * N * S), so a 150-view capture (big_wavy1 after frame selection) gets
+    ~1/9 the chunk of the 16-view rig. Rounded to a multiple of 1024."""
+    n = int(target * base_views / max(num_views, 1))
+    return max(minimum, (n // 1024) * 1024)
+
+
 def optimize_points(maps: PMVOMaps, points: np.ndarray, patch_size: int,
-                    conf_threshold: float, chunk: int = 8192,
+                    conf_threshold: float, chunk: Optional[int] = None,
                     mesh: Optional[jax.sharding.Mesh] = None,
                     save_root: Optional[str] = None
                     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Run the PMVO line search over all points in fixed-size chunks.
 
     Returns (points, ori, min_loss, high_conf). Mirror of `optimize`
-    (PMVO.py:565-595) with the 5000-point chunks replaced by padded chunks of
-    `chunk` points (one compiled program, optionally sharded over a mesh).
+    (PMVO.py:565-595) with the 5000-point chunks replaced by padded chunks
+    (auto-sized from the view count when not given; one compiled program,
+    optionally sharded over a mesh).
     """
+    if chunk is None:
+        chunk = auto_chunk(maps.cameras.num_views)
     fwd = partial(pmvo_forward, patch_size=patch_size, conf_threshold=conf_threshold)
     fwd = jax.jit(fwd)
 
@@ -75,8 +87,10 @@ def optimize_points(maps: PMVOMaps, points: np.ndarray, patch_size: int,
 
 def filter_raw_points(maps: PMVOMaps, points: np.ndarray, patch_size: int,
                       conf_threshold: float, visible_threshold: float,
-                      chunk: int = 65536) -> Tuple[np.ndarray, np.ndarray]:
+                      chunk: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
     """Chunked boolean classification of raw samples (PMVO.py:535-557)."""
+    if chunk is None:
+        chunk = 8 * auto_chunk(maps.cameras.num_views)  # no S axis here
     fp = jax.jit(partial(filter_points, patch_size=patch_size,
                          conf_threshold=conf_threshold,
                          visible_threshold=visible_threshold))
