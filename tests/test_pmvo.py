@@ -112,3 +112,27 @@ def test_filter_points_masks():
     assert bool(surf[0])
     surf2, _ = filter_points(occluded_maps, jnp.asarray(far), 3, 0.4, 1.0)
     assert not bool(surf2[0])
+
+
+def test_forward_with_few_views():
+    """V < 20 exercises the top-k clamp in find_base_views (the reference
+    hard-codes top-20, PMVO.py:341, and would crash)."""
+    maps = synthetic_maps([0, -1, 0], num_views=8)
+    pts = jnp.asarray(np.random.default_rng(2).normal(size=(12, 3)).astype(np.float32) * 0.02)
+    _, ori, loss, _ = pmvo_forward(maps, pts, patch_size=3, conf_threshold=0.4)
+    cos = np.abs(np.asarray(ori) @ np.array([0.0, -1.0, 0.0]))
+    assert np.median(cos) > 0.95
+
+
+def test_optimize_points_sharded_over_mesh():
+    """The scaling path: chunks sharded over an 8-device mesh (SURVEY §2.6)."""
+    from monohair_tpu.parallel.sharding import data_mesh
+    from monohair_tpu.pmvo.driver import optimize_points
+    maps = synthetic_maps([0, -1, 0])
+    rng = np.random.default_rng(3)
+    pts = (rng.normal(size=(64, 3)) * 0.02).astype(np.float32)
+    mesh = data_mesh()
+    _, ori, loss, _ = optimize_points(maps, pts, 3, 0.4, chunk=32, mesh=mesh)
+    cos = np.abs(ori @ np.array([0.0, -1.0, 0.0]))
+    assert np.median(cos) > 0.95
+    assert ori.shape == (64, 3)
