@@ -20,6 +20,9 @@ def run_pmvo(args: Config, mesh=None) -> None:
     optimize=False & infer_inner=True: fuse coarse interior -> full/*.mat."""
     t0 = time.monotonic()
     maps, _ = load_pmvo_maps(args)
+    if args.PMVO.get("bf16_maps"):
+        import jax.numpy as jnp
+        maps = maps.astype(jnp.bfloat16)
     _, scalp_v, _ = load_bust_and_scalp(args)
     root = args.data.root
     out = args.output_path

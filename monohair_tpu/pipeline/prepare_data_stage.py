@@ -63,16 +63,16 @@ def process_images(root: str, image_folder: str = "capture_images",
     for f in sorted(os.listdir(img_dir)):
         gray = cv2.imread(os.path.join(img_dir, f), cv2.IMREAD_GRAYSCALE)
         two, angle, conf = orientation_maps(jnp.asarray(gray.astype(np.float32) / 255.0))
+        jpg_q = ([int(cv2.IMWRITE_JPEG_QUALITY), 100]
+                 if f.lower().endswith((".jpg", ".jpeg")) else [])
         cv2.imwrite(os.path.join(root, "best_ori", f),
-                    encode_orientation_image(np.asarray(angle)),
-                    [int(cv2.IMWRITE_JPEG_QUALITY), 100])
+                    encode_orientation_image(np.asarray(angle)), jpg_q)
         cv2.imwrite(os.path.join(root, "conf", f),
                     np.clip(np.asarray(conf) * 255, 0, 255).astype(np.uint8))
         ori01 = (np.asarray(two) + 1.0) / 2.0
         color = np.concatenate([np.ones_like(ori01[..., :1]), ori01], -1)
         cv2.imwrite(os.path.join(root, "Ori", f),
-                    (color[..., ::-1] * 255).astype(np.uint8),
-                    [int(cv2.IMWRITE_JPEG_QUALITY), 100])
+                    (color[..., ::-1] * 255).astype(np.uint8), jpg_q)
 
 
 def run_prepare_data(args: Config) -> None:

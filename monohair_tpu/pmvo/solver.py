@@ -41,6 +41,13 @@ class PMVOMaps(NamedTuple):
     def image_size(self) -> Tuple[int, int]:
         return self.depth.shape[1], self.depth.shape[2]
 
+    def astype(self, dtype) -> "PMVOMaps":
+        """Cast map storage (bf16 halves HBM for ~150-view captures; the loss
+        math upcasts to f32 after the gathers)."""
+        return PMVOMaps(self.cameras, self.depth.astype(dtype),
+                        self.ori2d.astype(dtype), self.conf.astype(dtype),
+                        self.mask.astype(dtype))
+
 
 def depth_sample_offsets(num_sample: int = 90) -> np.ndarray:
     """The 90 non-uniform depth offsets of the line search (PMVO.py:274-278):
@@ -79,8 +86,8 @@ def observe_points(maps: PMVOMaps, points: jnp.ndarray, patch_size: int):
     center_map = jnp.stack([maps.depth, maps.mask], -1)
 
     patch = jax.vmap(lambda pk, rc_v: gather_patches(pk, rc_v, patch_size))(
-        patch_map, rc)                                        # (V,N,P,4)
-    dm = jax.vmap(gather_pixels)(center_map, rc)              # (V,N,2)
+        patch_map, rc).astype(jnp.float32)                    # (V,N,P,4)
+    dm = jax.vmap(gather_pixels)(center_map, rc).astype(jnp.float32)  # (V,N,2)
     half = patch_size // 2
     center = patch[:, :, (half * patch_size) + half, :]       # the (0,0) tap
     op = patch[..., 0:2]

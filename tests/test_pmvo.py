@@ -136,3 +136,13 @@ def test_optimize_points_sharded_over_mesh():
     cos = np.abs(ori @ np.array([0.0, -1.0, 0.0]))
     assert np.median(cos) > 0.95
     assert ori.shape == (64, 3)
+
+
+def test_forward_bf16_maps_close_to_f32():
+    maps = synthetic_maps([0, -1, 0])
+    pts = jnp.asarray(np.random.default_rng(4).normal(size=(16, 3)).astype(np.float32) * 0.02)
+    _, o32, l32, _ = pmvo_forward(maps, pts, patch_size=3, conf_threshold=0.4)
+    _, o16, l16, _ = pmvo_forward(maps.astype(jnp.bfloat16), pts, patch_size=3,
+                                  conf_threshold=0.4)
+    cos = np.abs(np.sum(np.asarray(o32) * np.asarray(o16), -1))
+    assert np.median(cos) > 0.99
