@@ -70,8 +70,10 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
         query_points = sample_grid_corners(vsize / 2, bbox_min, bbox_max)
     n = query_points.shape[0]
 
-    occ_feats = occ_model.apply(occ_vars, inputs.imgs, method=occ_model.get_feat)
-    ori_feats = ori_model.apply(ori_vars, inputs.imgs, method=ori_model.get_feat)
+    feat_fn = jax.jit(lambda m, v, x: m.apply(v, x, method=m.get_feat),
+                      static_argnums=0)
+    occ_feats = feat_fn(occ_model, occ_vars, inputs.imgs)
+    ori_feats = feat_fn(ori_model, ori_vars, inputs.imgs)
 
     step = jax.jit(lambda pts: eval_points(occ_model, occ_vars, ori_model, ori_vars,
                                            occ_feats, ori_feats, inputs.w2c,

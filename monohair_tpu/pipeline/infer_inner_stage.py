@@ -80,5 +80,7 @@ def _load_variables(args: Config, kind: str, model, inputs):
         return {"params": params, "batch_stats": stats}
     import jax.numpy as jnp
     V, H, W, C = inputs.imgs.shape
-    return model.init(jax.random.PRNGKey(0), jnp.zeros((V, H, W, C)),
-                      jnp.zeros((8, 3)), jnp.zeros((V, 8, 3)), jnp.zeros((V, 8, 2)))
+    # jitted init: eager flax init dispatches thousands of tiny ops
+    return jax.jit(model.init)(jax.random.PRNGKey(0), jnp.zeros((V, H, W, C)),
+                               jnp.zeros((8, 3)), jnp.zeros((V, 8, 3)),
+                               jnp.zeros((V, 8, 2)))
