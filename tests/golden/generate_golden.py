@@ -67,9 +67,72 @@ def convtranspose_case():
             "bias": t.bias.detach().numpy()}
 
 
+def _randomize_running_stats(module):
+    """Give BatchNorms non-trivial running stats so eval-mode equivalence is a
+    real test (fresh stats are 0/1 and would hide scale/mean mix-ups)."""
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, torch.nn.BatchNorm2d):
+                m.running_mean.normal_(0, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+
+
+def _net_case(net, inputs, outputs):
+    """Flatten state_dict + io arrays into one npz dict."""
+    out = {}
+    for k, v in net.state_dict().items():
+        out["sd." + k] = v.detach().numpy()
+    for k, v in inputs.items():
+        out["in." + k] = v
+    for k, v in outputs.items():
+        out["out." + k] = v.detach().numpy()
+    return out
+
+
+def modnet_case():
+    from torch_nets import MODNetTorch
+    net = MODNetTorch(width=0.25)
+    _randomize_running_stats(net)
+    net.eval()
+    img = (rng.random((1, 3, 64, 64)).astype(np.float32) * 2 - 1)
+    with torch.no_grad():
+        semantic, detail, matte = net(torch.from_numpy(img))
+    return _net_case(net, {"img": img},
+                     {"semantic": semantic, "detail": detail, "matte": matte})
+
+
+def bisenet_case():
+    from torch_nets import BiSeNetTorch
+    net = BiSeNetTorch(n_classes=19, width=0.125)
+    _randomize_running_stats(net)
+    net.eval()
+    img = rng.normal(size=(1, 3, 64, 64)).astype(np.float32)
+    with torch.no_grad():
+        out, out16, out32 = net(torch.from_numpy(img))
+    return _net_case(net, {"img": img},
+                     {"out": out, "out16": out16, "out32": out32})
+
+
+def fan_case():
+    from torch_nets import FANTorch
+    net = FANTorch(num_modules=2, depth=2, width=0.125)
+    _randomize_running_stats(net)
+    net.eval()
+    img = rng.random((1, 3, 128, 128)).astype(np.float32)
+    with torch.no_grad():
+        heats = net(torch.from_numpy(img))
+    return _net_case(net, {"img": img},
+                     {"heat0": heats[0], "heat1": heats[1]})
+
+
 if __name__ == "__main__":
+    import sys
+    sys.path.insert(0, HERE)
     np.savez(os.path.join(HERE, "grid_sample.npz"), **grid_sample_case())
     np.savez(os.path.join(HERE, "pool3d.npz"), **pool3d_case())
     np.savez(os.path.join(HERE, "double_conv.npz"), **double_conv_case())
     np.savez(os.path.join(HERE, "convtranspose.npz"), **convtranspose_case())
+    np.savez(os.path.join(HERE, "modnet.npz"), **modnet_case())
+    np.savez(os.path.join(HERE, "bisenet.npz"), **bisenet_case())
+    np.savez(os.path.join(HERE, "fan.npz"), **fan_case())
     print("golden fixtures written to", HERE)
