@@ -72,6 +72,81 @@ def convert_state_dict(sd: Dict[str, np.ndarray],
     return params, stats
 
 
+def rename_public_modnet(key: str) -> Optional[str]:
+    """Best-effort mapping of the public MODNet checkpoint's key scheme
+    (modnet_photographic_portrait_matting.ckpt: backbone.model.features.N,
+    Conv2dIBNormRelu 'layers' Sequentials, Sequential decoder stacks) onto
+    this package's module names. Verified structurally against the MODNet
+    paper's architecture; spot-check converted mattes before production use."""
+    k = key
+    if ".layers.0." in k:
+        k = k.replace(".layers.0.", ".conv.")
+    if ".layers.1." in k:
+        k = k.replace(".layers.1.", ".ibn.")
+    # sequential decoder stacks -> flattened names
+    for seq in ("conv_hr4x", "conv_hr2x", "conv_hr", "conv_f"):
+        for i in range(4):
+            k = k.replace(f".{seq}.{i}.", f".{seq}_{i}.")
+    k = k.replace("se_block.fc.0.", "se_block.fc1.")
+    k = k.replace("se_block.fc.2.", "se_block.fc2.")
+    if k.startswith("backbone.model.features."):
+        rest = k[len("backbone.model.features."):]
+        idx_s, sub = rest.split(".", 1)
+        idx = int(idx_s)
+        if idx == 0:
+            sub = sub.replace("0.", "conv.", 1).replace("1.", "bn.", 1)
+            return f"backbone.stem.{sub}"
+        if idx == 18:
+            sub = sub.replace("0.", "conv.", 1).replace("1.", "bn.", 1)
+            return f"backbone.head.{sub}"
+        block = idx - 1
+        # InvertedResidual.conv Sequential indices -> named children
+        if block == 0:  # expand==1: dw(0,1), pwl(3), pwl_bn(4)
+            table = {"conv.0": "dw.conv", "conv.1": "dw.bn",
+                     "conv.3": "pwl", "conv.4": "pwl_bn"}
+        else:
+            table = {"conv.0": "pw.conv", "conv.1": "pw.bn",
+                     "conv.3": "dw.conv", "conv.4": "dw.bn",
+                     "conv.6": "pwl", "conv.7": "pwl_bn"}
+        for old, new in table.items():
+            if sub.startswith(old + "."):
+                return f"backbone.block{block}.{new}.{sub[len(old) + 1:]}"
+        return f"backbone.block{block}.{sub}"
+    return k
+
+
+def rename_public_bisenet(key: str) -> Optional[str]:
+    """face-parsing.PyTorch BiSeNet keys -> this package's names (only the
+    resnet stem/layer naming differs; heads/ARM/FFM names already match)."""
+    k = key
+    k = k.replace("cp.resnet.conv1.", "cp.resnet.stem.conv.")
+    k = k.replace("cp.resnet.bn1.", "cp.resnet.stem.bn.")
+    for li in range(1, 5):
+        for bi in range(2):
+            p = f"cp.resnet.layer{li}.{bi}."
+            if k.startswith(p):
+                rest = k[len(p):]
+                rest = rest.replace("conv1.", "conv1.conv.", 1) \
+                    if rest.startswith("conv1.") else rest
+                rest = rest.replace("bn1.", "conv1.bn.", 1) \
+                    if rest.startswith("bn1.") else rest
+                rest = rest.replace("conv2.", "conv2.conv.", 1) \
+                    if rest.startswith("conv2.") else rest
+                rest = rest.replace("bn2.", "conv2.bn.", 1) \
+                    if rest.startswith("bn2.") else rest
+                rest = rest.replace("downsample.0.", "down.conv.", 1)
+                rest = rest.replace("downsample.1.", "down.bn.", 1)
+                return f"cp.resnet.layer{li}_{bi}.{rest}"
+    return k
+
+
+def rename_public_fan(key: str) -> Optional[str]:
+    """face_alignment FAN keys -> this package's names (ConvBlock downsample
+    Sequential is the only difference)."""
+    return key.replace("downsample.0.", "down_bn.").replace(
+        "downsample.2.", "down_conv.")
+
+
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     """Read a .pth/.ckpt as a numpy state_dict (torch-only caller process)."""
     import torch

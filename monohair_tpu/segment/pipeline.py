@@ -2,16 +2,17 @@
 
 Writes mask/ (person matte), hair_mask/ (hair class), mask_hair/ (blend) for
 every capture image. The reference ensembles MODNet matting with CDGNet's
-3-scale + horizontal-flip hair parse — both external torch checkpoints. Here:
+3-scale + horizontal-flip hair parse. Here:
 
 - if hair_mask/ already exists for all frames, the step is a no-op
   (idempotent-by-directory, exactly the reference's dataprocess contract).
-- if a converted Flax checkpoint is configured (segment.flax_ckpt), the UNet
-  matting net runs batched under jit.
-- otherwise a classical fallback (luminance/chroma statistics + GrabCut-style
-  morphology) produces coarse masks so the pipeline stays runnable end-to-end;
-  quality callers should supply the neural masks. [Flax CDGNet/MODNet ports
-  land in a later round — tracked in README roadmap.]
+- if converted Flax checkpoints are configured (segment.modnet_flax +
+  segment.parser_flax, npz trees from tools/convert_checkpoints.py), the
+  MODNet matte and the BiSeNet hair parse run batched under jit with the
+  reference's ensemble protocol (ParsingRunner).
+- otherwise a classical fallback (luminance/texture statistics + morphology)
+  produces coarse masks so the pipeline stays runnable end-to-end; quality
+  callers should supply the neural checkpoints.
 """
 
 from __future__ import annotations
@@ -27,7 +28,7 @@ from ..config import Config
 
 def _fallback_hair_mask(img: np.ndarray) -> np.ndarray:
     """Coarse classical segmentation: dark/texture-rich regions near the top of
-    the largest foreground blob. Placeholder for the neural ensemble."""
+    the largest foreground blob. Fallback when no neural checkpoints are set."""
     gray = cv2.cvtColor(img, cv2.COLOR_BGR2GRAY)
     # texture response: local variance of a high-pass
     hp = cv2.Laplacian(gray, cv2.CV_32F, ksize=3)
@@ -43,6 +44,25 @@ def _fallback_hair_mask(img: np.ndarray) -> np.ndarray:
     return m
 
 
+def _neural_masks(files: List[str], img_dir: str, cfg: Config):
+    """MODNet matte + BiSeNet hair parse, reference ensemble protocol."""
+    from .runners import MattingRunner, ParsingRunner
+
+    seg = cfg.get("segment", {})
+    matting = MattingRunner(seg["modnet_flax"],
+                            width=float(seg.get("modnet_width", 1.0)),
+                            ref_size=int(seg.get("matte_size", 512)))
+    parser = ParsingRunner(seg["parser_flax"],
+                           n_classes=int(seg.get("parser_classes", 19)),
+                           width=float(seg.get("parser_width", 1.0)),
+                           input_size=int(seg.get("parse_size", 512)))
+    imgs = np.stack([cv2.cvtColor(cv2.imread(os.path.join(img_dir, f)),
+                                  cv2.COLOR_BGR2RGB) for f in files])
+    matte = matting.matte(imgs)                               # (N, H, W)
+    hair = parser.hair_mask(imgs, matte)                      # (N, H, W) u8
+    return matte, hair
+
+
 def calculate_masks(args: Config) -> List[str]:
     root = args.data.root
     img_dir = os.path.join(root, "capture_images")
@@ -56,6 +76,24 @@ def calculate_masks(args: Config) -> List[str]:
         return files
     for d in (hair_dir, mask_dir, blend_dir):
         os.makedirs(d, exist_ok=True)
+
+    seg = args.get("segment", {}) or {}
+    neural = (seg.get("modnet_flax") and os.path.exists(seg["modnet_flax"])
+              and seg.get("parser_flax") and os.path.exists(seg["parser_flax"]))
+    if neural:
+        matte, hair = _neural_masks(files, img_dir, args)
+        for i, f in enumerate(files):
+            img = cv2.imread(os.path.join(img_dir, f))
+            cv2.imwrite(os.path.join(mask_dir, f),
+                        np.clip(matte[i] * 255.0, 0, 255).astype(np.uint8))
+            cv2.imwrite(os.path.join(hair_dir, f), hair[i])
+            blend = (hair[i][..., None].astype(np.float32) * 0.5
+                     + img.astype(np.float32) * 0.5)
+            cv2.imwrite(os.path.join(blend_dir, f),
+                        blend.astype(np.uint8))
+        return files
+
+    print("[segment] no neural checkpoints configured — classical fallback")
     for f in files:
         img = cv2.imread(os.path.join(img_dir, f))
         hair = _fallback_hair_mask(img)
