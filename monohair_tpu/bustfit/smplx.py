@@ -29,6 +29,10 @@ class SMPLXModel(NamedTuple):
     parents: np.ndarray         # (J,) kinematic tree (static)
     lbs_weights: jnp.ndarray    # (V, J)
     faces: np.ndarray           # (F, 3) (static)
+    # (V, 3, E) expression basis; None = no expression space. (The default is
+    # None, not an empty jnp array: building a jax array at import time would
+    # initialize the device platform before CLIs/conftest can pin CPU.)
+    expr_dirs: Optional[jnp.ndarray] = None
 
     @property
     def num_joints(self) -> int:
@@ -38,14 +42,27 @@ class SMPLXModel(NamedTuple):
     def num_betas(self) -> int:
         return self.shapedirs.shape[-1]
 
+    @property
+    def num_expr(self) -> int:
+        return 0 if self.expr_dirs is None else self.expr_dirs.shape[-1]
 
-def load_smplx_npz(path: str, num_betas: int = 10) -> SMPLXModel:
-    """Load the official SMPL-X npz layout."""
+
+def load_smplx_npz(path: str, num_betas: int = 10, num_expr: int = 10
+                   ) -> SMPLXModel:
+    """Load the official SMPL-X npz layout. SMPL-X packs expression dirs after
+    the 300 shape components of `shapedirs` (smplx.body_models convention, used
+    by DELTA's SMPLX at multiview_optimization.py:505-517)."""
     d = np.load(path, allow_pickle=True)
-    shapedirs = np.asarray(d["shapedirs"], np.float32)[..., :num_betas]
+    all_dirs = np.asarray(d["shapedirs"], np.float32)
+    shapedirs = all_dirs[..., :num_betas]
+    if all_dirs.shape[-1] > 300 and num_expr > 0:
+        expr_dirs = jnp.asarray(all_dirs[..., 300:300 + num_expr])
+    else:  # older layouts without packed expression space
+        expr_dirs = None
     posedirs = np.asarray(d["posedirs"], np.float32)
     P = posedirs.shape[-1]
-    posedirs = posedirs.reshape(-1, P).T  # (P, V*3)
+    n_verts3 = posedirs.shape[0] * posedirs.shape[1]
+    posedirs = posedirs.reshape(n_verts3, P).T  # (P, V*3)
     return SMPLXModel(
         v_template=jnp.asarray(d["v_template"], jnp.float32),
         shapedirs=jnp.asarray(shapedirs),
@@ -54,6 +71,7 @@ def load_smplx_npz(path: str, num_betas: int = 10) -> SMPLXModel:
         parents=np.asarray(d["kintree_table"])[0].astype(np.int64),
         lbs_weights=jnp.asarray(d["weights"], jnp.float32),
         faces=np.asarray(d["f"], np.int64),
+        expr_dirs=expr_dirs,
     )
 
 
@@ -76,9 +94,9 @@ def lbs_forward(model: SMPLXModel, betas: jnp.ndarray, pose: jnp.ndarray,
                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """betas (S,), pose (J, 3) axis-angle -> (vertices (V, 3), joints (J, 3))."""
     v_shaped = model.v_template + jnp.einsum("vcs,s->vc", model.shapedirs, betas)
-    if expression is not None:
-        # SMPL-X packs expression dirs after shape dirs; callers concatenate
-        pass
+    if expression is not None and model.num_expr > 0:
+        v_shaped = v_shaped + jnp.einsum("vce,e->vc", model.expr_dirs,
+                                         expression[:model.num_expr])
     joints = jnp.einsum("jv,vc->jc", model.J_regressor, v_shaped,
                         precision="highest")
     rots = rodrigues(pose)                                   # (J, 3, 3)
@@ -111,7 +129,8 @@ def lbs_forward(model: SMPLXModel, betas: jnp.ndarray, pose: jnp.ndarray,
 
 
 def random_test_model(rng: np.random.Generator, num_verts: int = 64,
-                      num_joints: int = 4, num_betas: int = 5) -> SMPLXModel:
+                      num_joints: int = 4, num_betas: int = 5,
+                      num_expr: int = 0) -> SMPLXModel:
     """A tiny synthetic model for unit tests (no external assets); vertices
     centered at the origin so ring-camera fixtures see the whole model."""
     verts = ((rng.random((num_verts, 3)) - 0.5) * 0.4).astype(np.float32)
@@ -130,4 +149,41 @@ def random_test_model(rng: np.random.Generator, num_verts: int = 64,
         parents=parents,
         lbs_weights=jnp.asarray(W),
         faces=np.zeros((0, 3), np.int64),
+        expr_dirs=(jnp.asarray(rng.normal(size=(num_verts, 3, num_expr))
+                               .astype(np.float32) * 0.01)
+                   if num_expr else None),
+    )
+
+
+def sphere_head_model(subdiv: int = 12, radius: float = 0.12) -> SMPLXModel:
+    """A deterministic triangulated sphere 'head' (UV sphere) with one joint —
+    the synthetic-head fixture for full-loss fit tests (no licensed assets)."""
+    th = np.linspace(0, np.pi, subdiv + 1)[1:-1]
+    ph = np.linspace(0, 2 * np.pi, 2 * subdiv, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    ring = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)],
+                    -1).reshape(-1, 3)
+    verts = np.concatenate([[[0, 1, 0]], ring, [[0, -1, 0]]], 0) * radius
+    nph = len(ph)
+    faces = []
+    for j in range(nph):  # caps (wound so normals point outward)
+        faces.append([0, 1 + (j + 1) % nph, 1 + j])
+        base = 1 + (len(th) - 1) * nph
+        faces.append([len(verts) - 1, base + j, base + (j + 1) % nph])
+    for i in range(len(th) - 1):
+        for j in range(nph):
+            a = 1 + i * nph + j
+            b = 1 + i * nph + (j + 1) % nph
+            c = a + nph
+            d = b + nph
+            faces += [[a, b, c], [b, d, c]]
+    V = len(verts)
+    return SMPLXModel(
+        v_template=jnp.asarray(verts, jnp.float32),
+        shapedirs=jnp.zeros((V, 3, 2)),
+        posedirs=jnp.zeros((0, V * 3)),
+        J_regressor=jnp.full((1, V), 1.0 / V),
+        parents=np.array([-1]),
+        lbs_weights=jnp.ones((V, 1)),
+        faces=np.asarray(faces, np.int64),
     )

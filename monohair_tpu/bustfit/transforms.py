@@ -75,6 +75,23 @@ def semantic_to_matrix(sem: np.ndarray) -> np.ndarray:
     return m
 
 
+def matrix_to_semantic(tsfm: np.ndarray) -> np.ndarray:
+    """4x4 similarity -> [t(3), euler deg(3), scale]: the inverse of
+    semantic_to_matrix, so the exported model_tsfm_semantic.dat round-trips.
+    Euler extraction follows the reference 'xzy' layout (R[0,1] = -sin t2)."""
+    M = np.asarray(tsfm, np.float64)
+    scale = float(np.cbrt(np.linalg.det(M[:3, :3])))
+    R3 = M[:3, :3] / scale
+    t2 = math.asin(np.clip(-R3[0, 1], -1.0, 1.0))
+    t1 = math.atan2(R3[2, 1], R3[1, 1])
+    t3 = math.atan2(R3[0, 2], R3[0, 0])
+    sem = np.zeros(7, np.float32)
+    sem[:3] = M[:3, 3]
+    sem[3:6] = np.degrees([t1, t2, t3])
+    sem[6] = scale
+    return sem
+
+
 def process_bust_meshes(args: Config) -> None:
     """Stage-1 process_bust step (prepare_data.py:142-159): copy fitted meshes
     into ours/Voxel_hair, apply model_tsfm to bust/scalp/flame, export head.trans."""
