@@ -231,14 +231,19 @@ def connect_to_scalp(strands: List[np.ndarray], num_root: int, occ: np.ndarray,
                      ori_voxel: np.ndarray, out_ratio_threshold: float = 0.5,
                      thr_dist: float = 0.5, thr_dot: float = 0.9,
                      max_thr_dist: float = 2.0, min_thr_dot: float = 0.6,
+                     jitter_retries: int = 2,
                      rng: Optional[np.random.Generator] = None) -> List[np.ndarray]:
     """Attach rootless strands to scalp-rooted strands (HairGrow.py:606-784).
 
     Strands are in VOXEL coordinates. Rounds relax thr_dist (+0.25 up to
     max_thr_dist) and thr_dot (-0.075 down to min_thr_dot) whenever progress
     stalls; a strand attaches at the nearest point of a good strand when the
-    connection direction agrees, then is occupancy-validated; out-of-volume
-    attachments are kept but marked. Returns attached strands only.
+    connection direction agrees, then the grafted *prefix* is
+    occupancy-validated (random_move_strands checks strand[:index] only,
+    PMVO_utils.py:618-658 / HairGrow.py:754); a failed validation retries up to
+    `jitter_retries` whole-strand jitters of ~half a voxel (the reference's
+    intended retry — its loop is written to jitter but breaks after one pass).
+    Out-of-volume attachments are kept but marked. Returns attached strands only.
     """
     rng = rng or np.random.default_rng(0)
     strands = [np.asarray(s, np.float64) for s in strands]
@@ -268,11 +273,17 @@ def connect_to_scalp(strands: List[np.ndarray], num_root: int, occ: np.ndarray,
         core_tree = cKDTree(np.concatenate(core_pts, 0))
         core_info = np.array(core_info)
 
-        for i in range(n):
-            if root_flag[i] or out_root_flag[i]:
-                continue
+        # one batched neighbor query for every pending root (the per-strand
+        # query was the round's hot spot at 100k strands)
+        pending = [i for i in range(n) if not (root_flag[i] or out_root_flag[i])]
+        if not pending:
+            break
+        pending_roots = np.stack([strands[i][0] for i in pending])
+        nei_lists = core_tree.query_ball_point(pending_roots, thr_dist,
+                                               workers=-1)
+
+        for i, nei_index in zip(pending, nei_lists):
             strand = strands[i]
-            nei_index = core_tree.query_ball_point(strand[0], thr_dist)
             if len(nei_index) == 0:
                 continue
             nei_strands = core_info[nei_index]
@@ -322,11 +333,23 @@ def connect_to_scalp(strands: List[np.ndarray], num_root: int, occ: np.ndarray,
             prefix = _translate_join(mid, ss[:best_pt_idx + 1][::-1])[::-1]
             joined = np.concatenate([prefix, mid[None], strand], 0)
 
-            in_ratio, sim, in_bounds = strand_occupancy_stats(joined, occ, ori_voxel)
+            # validate the grafted prefix only (random_move_strands index arg)
+            plen = best_pt_idx + 2
+            in_ratio, sim, in_bounds = strand_occupancy_stats(joined[:plen],
+                                                              occ, ori_voxel)
+            ok = in_bounds and in_ratio > out_ratio_threshold and sim > 0.3
+            if not ok and in_bounds:
+                for _ in range(jitter_retries):
+                    cand = joined + rng.random(3) * 0.5
+                    r2, s2, b2 = strand_occupancy_stats(cand[:plen], occ,
+                                                        ori_voxel)
+                    if b2 and r2 > out_ratio_threshold and s2 > 0.3:
+                        joined, in_ratio, ok = cand, r2, True
+                        break
             out_ratio[i] = 1 - in_ratio
             strands[i] = joined
             trees[i] = None
-            if in_bounds and in_ratio > out_ratio_threshold and sim > 0.3:
+            if ok:
                 root_flag[i] = True
             else:
                 out_root_flag[i] = True

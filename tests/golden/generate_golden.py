@@ -125,6 +125,28 @@ def fan_case():
                      {"heat0": heats[0], "heat1": heats[1]})
 
 
+def pifu_case(vit_attr):
+    """Whole-net Occ_attn/Ori_attn conversion fixture (VERDICT item 6): a
+    random-init torch net in the reference's exact state_dict naming, plus its
+    outputs on fixed inputs. vit_attr: 'occ_vit' (occ) or 'vit' (ori)."""
+    from torch_nets import PifuAttnTorch
+    out_dim = 2 if vit_attr == "occ_vit" else 3
+    net = PifuAttnTorch(vit_attr, out_dim, in_feat=4, vit_dim=32, vit_depth=2,
+                        vit_heads=4, num_views=4)
+    _randomize_running_stats(net)
+    net.eval()
+    imgs = rng.normal(size=(4, 4, 32, 32)).astype(np.float32)
+    pts_world = (rng.random((6, 3)).astype(np.float32) - 0.5) * 0.4
+    pts_view = rng.normal(size=(4, 6, 3)).astype(np.float32) * 0.3
+    coord = (rng.random((4, 6, 1, 2)).astype(np.float32) * 1.6 - 0.8)
+    with torch.no_grad():
+        out = net(torch.from_numpy(imgs), torch.from_numpy(pts_world),
+                  torch.from_numpy(pts_view), torch.from_numpy(coord))
+    return _net_case(net, {"imgs": imgs, "pts_world": pts_world,
+                           "pts_view": pts_view, "coord": coord},
+                     {"out": out})
+
+
 if __name__ == "__main__":
     import sys
     sys.path.insert(0, HERE)
@@ -135,4 +157,6 @@ if __name__ == "__main__":
     np.savez(os.path.join(HERE, "modnet.npz"), **modnet_case())
     np.savez(os.path.join(HERE, "bisenet.npz"), **bisenet_case())
     np.savez(os.path.join(HERE, "fan.npz"), **fan_case())
+    np.savez(os.path.join(HERE, "pifu_occ.npz"), **pifu_case("occ_vit"))
+    np.savez(os.path.join(HERE, "pifu_ori.npz"), **pifu_case("vit"))
     print("golden fixtures written to", HERE)

@@ -449,3 +449,205 @@ class FANTorch(nn.Module):
             if m < self.num_modules - 1:
                 x = x + getattr(self, f"bl{m}")(ll) + getattr(self, f"al{m}")(heat)
         return outputs
+
+
+# -----------------------------------------------------------------------------
+# DeepMVSHair Occ_attn / Ori_attn mirror (whole-net conversion equivalence).
+# State-dict key paths reproduce the reference checkpoints' module naming
+# (pifu_attn.py / UnetSimple.py / ViT.py) so models.convert.convert_pifu_checkpoint
+# maps them with zero rename hooks — exactly like the real occ.pth / ori.pth.
+# -----------------------------------------------------------------------------
+
+
+class _MVSDoubleConv(nn.Module):
+    def __init__(self, cin, cout, ksize=3):
+        super().__init__()
+        self.double_conv = nn.Sequential(
+            nn.Conv2d(cin, cout, ksize, padding=ksize // 2),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True),
+            nn.Conv2d(cout, cout, ksize, padding=ksize // 2),
+            nn.BatchNorm2d(cout), nn.ReLU(inplace=True))
+
+    def forward(self, x):
+        return self.double_conv(x)
+
+
+class _MVSDown(nn.Module):
+    def __init__(self, cin, cout, ksize=3):
+        super().__init__()
+        self.maxpool_conv = nn.Sequential(nn.MaxPool2d(2),
+                                          _MVSDoubleConv(cin, cout, ksize))
+
+    def forward(self, x):
+        return self.maxpool_conv(x)
+
+
+class _MVSUp(nn.Module):
+    def __init__(self, cin, cout, ksize=3):
+        super().__init__()
+        self.up = nn.ConvTranspose2d(cin, cin // 2, ksize, stride=2,
+                                     padding=ksize // 2, output_padding=ksize // 2)
+        self.conv = _MVSDoubleConv(cin, cout)
+
+    def forward(self, x1, x2):
+        return self.conv(torch.cat([x2, self.up(x1)], 1))
+
+
+class UNetSimpleTorch(nn.Module):
+    def __init__(self, in_feat=4, ksize=5, num_chan=(16, 32, 64, 128)):
+        super().__init__()
+        self.inc = _MVSDoubleConv(in_feat, num_chan[0], ksize)
+        self.down1 = _MVSDown(num_chan[0], num_chan[1], ksize)
+        self.down2 = _MVSDown(num_chan[1], num_chan[2], ksize)
+        self.down3 = _MVSDown(num_chan[2], num_chan[3], ksize)
+        self.up1 = _MVSUp(num_chan[3], num_chan[2], 3)
+        self.up2 = _MVSUp(num_chan[2], num_chan[1], 3)
+        self.up3 = _MVSUp(num_chan[1], num_chan[0], 3)
+        self.output_feat = sum(num_chan)
+
+    def get_feat(self, x):
+        fi = self.inc(x)
+        d1 = self.down1(fi)
+        d2 = self.down2(d1)
+        d3 = self.down3(d2)
+        u1 = self.up1(d3, d2)
+        u2 = self.up2(u1, d1)
+        u3 = self.up3(u2, fi)
+        return [d3, u1, u2, u3]
+
+
+class _Permute(nn.Module):
+    def __init__(self, dims):
+        super().__init__()
+        self.dims = dims
+
+    def forward(self, x):
+        return x.permute(*self.dims)
+
+
+class _MVSAttention(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        inner = heads * dim_head
+        self.heads = heads
+        self.scale = dim_head ** -0.5
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.reattn_weights = nn.Parameter(torch.randn(heads, heads))
+        self.reattn_norm = nn.Sequential(_Permute((0, 2, 3, 1)),
+                                         nn.LayerNorm(heads),
+                                         _Permute((0, 3, 1, 2)))
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Dropout(0.0))
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        h = self.heads
+        q, k, v = self.to_qkv(x).chunk(3, dim=-1)
+        q, k, v = (t.reshape(b, n, h, -1).permute(0, 2, 1, 3) for t in (q, k, v))
+        attn = (q @ k.transpose(-1, -2) * self.scale).softmax(-1)
+        attn = torch.einsum("bhij,hg->bgij", attn, self.reattn_weights)
+        attn = self.reattn_norm(attn)
+        out = (attn @ v).permute(0, 2, 1, 3).reshape(b, n, -1)
+        return self.to_out(out)
+
+
+class _PreNormResidual(nn.Module):
+    def __init__(self, dim, fn):
+        super().__init__()
+        self.fn = _WrapNorm(dim, fn)
+
+    def forward(self, x):
+        return self.fn(x) + x
+
+
+class _WrapNorm(nn.Module):
+    def __init__(self, dim, fn):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.fn = fn
+
+    def forward(self, x):
+        return self.fn(self.norm(x))
+
+
+class _MVSFeedForward(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.net = nn.Sequential(nn.Linear(dim, hidden), nn.GELU(),
+                                 nn.Dropout(0.0), nn.Linear(hidden, dim))
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class _MVSTransformer(nn.Module):
+    def __init__(self, dim, depth, heads, dim_head, mlp_dim):
+        super().__init__()
+        self.layers = nn.ModuleList(
+            [nn.ModuleList([_PreNormResidual(dim, _MVSAttention(dim, heads, dim_head)),
+                            _PreNormResidual(dim, _MVSFeedForward(dim, mlp_dim))])
+             for _ in range(depth)])
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = ff(attn(x))
+        return x
+
+
+class OccViTTorch(nn.Module):
+    def __init__(self, output_dim, token_dim, feat_dim, pt_dim, depth, heads,
+                 dim_head, mlp_dim, num_views):
+        super().__init__()
+        self.view_fuse_pt = nn.Linear(feat_dim + pt_dim, token_dim)
+        self.cls_token = nn.Parameter(torch.randn(1, 1, token_dim))
+        self.cls_fuse_pt = nn.Linear(token_dim + pt_dim, token_dim)
+        self.pos_embedding = nn.Parameter(torch.randn(1, num_views + 1, token_dim))
+        self.transformer = _MVSTransformer(token_dim, depth, heads, dim_head, mlp_dim)
+        self.mlp_head = nn.Sequential(
+            nn.LayerNorm(token_dim), nn.Linear(token_dim, token_dim), nn.ReLU(),
+            nn.Linear(token_dim, token_dim), nn.ReLU(),
+            nn.Linear(token_dim, output_dim))
+
+    def forward(self, img_feat, pts_world_feat, pts_view_feat):
+        n = img_feat.shape[0]
+        view_tokens = self.view_fuse_pt(torch.cat([img_feat, pts_view_feat], -1))
+        cls = self.cls_token.expand(n, -1, -1)
+        cls = self.cls_fuse_pt(torch.cat([cls, pts_world_feat], -1))
+        y = torch.cat([cls, view_tokens], 1) + self.pos_embedding
+        y = self.transformer(y)
+        return self.mlp_head(y[:, 0])
+
+
+def _nerf_embed(x, num_freqs=5):
+    out = [x]
+    for k in range(num_freqs):
+        out += [torch.sin(x * 2.0 ** k), torch.cos(x * 2.0 ** k)]
+    return torch.cat(out, -1)
+
+
+class PifuAttnTorch(nn.Module):
+    """Occ_attn (vit_attr='occ_vit') / Ori_attn (vit_attr='vit', normalized)."""
+
+    def __init__(self, vit_attr, output_dim, in_feat=4, vit_dim=32, vit_depth=2,
+                 vit_heads=4, num_views=4, pt_res=5):
+        super().__init__()
+        self.backbone = UNetSimpleTorch(in_feat=in_feat, ksize=5)
+        pt_dim = 3 * (1 + 2 * pt_res)
+        self.vit_attr = vit_attr
+        self.pt_res = pt_res
+        setattr(self, vit_attr,
+                OccViTTorch(output_dim, vit_dim, self.backbone.output_feat,
+                            pt_dim, vit_depth, vit_heads, vit_dim, vit_dim,
+                            num_views))
+
+    def forward(self, imgs, pts_world, pts_view, sample_coord):
+        feats = self.backbone.get_feat(imgs)
+        sample_feats = torch.cat(
+            [F.grid_sample(f, sample_coord, align_corners=False).squeeze(3)
+             for f in feats], 1)
+        img_feat = sample_feats.permute(2, 0, 1)
+        out = getattr(self, self.vit_attr)(
+            img_feat, _nerf_embed(pts_world, self.pt_res)[:, None],
+            _nerf_embed(pts_view, self.pt_res).permute(1, 0, 2))
+        if self.vit_attr == "vit":                   # Ori_attn normalizes
+            out = F.normalize(out, dim=1)
+        return out

@@ -99,3 +99,41 @@ def test_cubic_interp_endpoints():
     np.testing.assert_allclose(s[0], [0, 0, 0], atol=1e-12)
     np.testing.assert_allclose(s[-1], [0, 4, 0], atol=1e-12)
     assert len(s) == 5
+
+
+def test_connect_to_scalp_scale_and_time():
+    """VERDICT item 9: stage 4's host phase must stay bounded at production
+    strand counts (~50k strands attach in well under 2 minutes; the reference's
+    per-strand python loop is the same complexity class, HairGrow.py:606-784)."""
+    import time
+    from monohair_tpu.strands.connect import connect_to_scalp
+
+    rng = np.random.default_rng(0)
+    occ = np.zeros((256, 256, 192), np.float32)
+    ori = np.zeros((256, 256, 192, 3), np.float32)
+
+    def make_strand(x, z, y0, length):
+        ys = np.arange(y0, y0 + length)
+        return np.stack([np.full_like(ys, x), ys, np.full_like(ys, z)],
+                        -1).astype(np.float64)
+
+    n_root, n_free = 5000, 45000
+    strands = []
+    for _ in range(n_root):
+        x, z = rng.integers(40, 200), rng.integers(40, 150)
+        strands.append(make_strand(x, z, 30, 40))
+    for _ in range(n_free):
+        x, z = rng.integers(40, 200), rng.integers(40, 150)
+        strands.append(make_strand(x, z, 30 + rng.integers(20, 50), 30))
+    for s in strands:
+        idx = np.round(s).astype(int)
+        occ[idx[:, 0], idx[:, 1], idx[:, 2]] = 1
+        ori[idx[:, 0], idx[:, 1], idx[:, 2]] = [0, 1, 0]
+
+    t0 = time.time()
+    out = connect_to_scalp(strands, n_root, occ, ori)
+    dt = time.time() - t0
+    assert dt < 120, f"connect_to_scalp took {dt:.1f}s at 50k strands"
+    assert len(out) > 0.5 * len(strands), f"only {len(out)} attached"
+    # attached strands must start at/near a good strand and keep finite coords
+    assert all(np.isfinite(s).all() for s in out)

@@ -88,6 +88,28 @@ def test_occ_attn_forward_and_convert_shapes(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("which,vit_prefix,out_dim", [
+    ("pifu_occ.npz", "occ_vit", 2), ("pifu_ori.npz", "vit", 3)])
+def test_whole_net_conversion_matches_torch(which, vit_prefix, out_dim):
+    """VERDICT item 6: the ENTIRE checkpoint path — a random-init torch
+    Occ_attn/Ori_attn in the reference's state_dict naming, converted via
+    convert_pifu_checkpoint, must reproduce the torch outputs end-to-end
+    (reference checkpoints load identically at mvs_eval.py:68,86)."""
+    d = _golden(which)
+    sd = {k[3:]: d[k] for k in d.files if k.startswith("sd.")}
+    params, stats = convert_pifu_checkpoint(sd, vit_prefix)
+    cls = OccAttn if out_dim == 2 else OriAttn
+    model = cls(num_views=4, vit_depth=2, vit_dim=32, vit_heads=4)
+    imgs = jnp.asarray(d["in.imgs"].transpose(0, 2, 3, 1))     # NCHW -> NHWC
+    coord = jnp.asarray(d["in.coord"][:, :, 0, :])             # (V,N,1,2)->(V,N,2)
+    out = model.apply({"params": params, "batch_stats": stats}, imgs,
+                      jnp.asarray(d["in.pts_world"]), jnp.asarray(d["in.pts_view"]),
+                      coord)
+    assert out.shape == d["out.out"].shape
+    # reduced (bf16-class) conv precision on this stack; logits are O(1)
+    np.testing.assert_allclose(np.asarray(out), d["out.out"], rtol=3e-2, atol=2e-2)
+
+
 def test_mvs_projection_conventions():
     """sample_coord must be (-u_pmvo, v_pmvo) (util.py getProjPoints semantics)."""
     w2c = jnp.asarray(np.eye(4, dtype=np.float32)[None])
