@@ -41,6 +41,21 @@ def sample_grid_corners(vsize: float, bbox_min, bbox_max) -> np.ndarray:
     return g.astype(np.float32)
 
 
+def colmap_guided_queries(colmap_mesh_path: str, vsize: float = VSIZE_COARSE,
+                          seed: int = 0) -> np.ndarray:
+    """Colmap-guided fine query set (EvalDataset.py:39-52): one jittered sample
+    per vsize/8 voxel around the coarse mesh ([1024,1024,768] binning grid),
+    plus a vsize/4 corner grid restricted to the mesh's bbox. Replaces the
+    full-bbox vsize/2 grid when the mesh is available — interior detail at 2-4x
+    the coarse resolution for fewer total queries."""
+    from ..pmvo.points import load_colmap_points
+    pts = load_colmap_points(colmap_mesh_path, vsize=vsize / 8,
+                             grid_resolution=(1024, 1024, 768), num_per_grid=1,
+                             seed=seed)
+    fine_grid = sample_grid_corners(vsize / 4, pts.min(0), pts.max(0))
+    return np.concatenate([fine_grid, pts], 0).astype(np.float32)
+
+
 def eval_points(occ_model_def: OccAttn, occ_vars, ori_model_def: OriAttn, ori_vars,
                 occ_feats, ori_feats, w2c, ndc, pts):
     """One batch: project, sample features, run both heads.

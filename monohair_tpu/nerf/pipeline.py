@@ -52,7 +52,10 @@ def run_ngp_stage(args: Config) -> None:
     ds = load_nerf_dataset(os.path.join(colmap_dir, "transforms.json"),
                            os.path.join(colmap_dir, "images"))
     steps = int(args.get("ngp", {}).get("train_steps", 4000))
-    field, variables, losses = train_nerf(ds, steps=steps)
+    field, variables, losses, occ_grid = train_nerf(
+        ds, steps=steps,
+        use_occupancy=bool(args.get("ngp", {}).get("use_occupancy", True)),
+        occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)))
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")
 
     # render the 16 fixed views (trainning_images/capture_images + imgs/origin)
@@ -63,7 +66,8 @@ def run_ngp_stage(args: Config) -> None:
     for i, (q, t, fov) in enumerate(zip(quats, trans, fovs)):
         c2w = ngp_pose_to_nerf_c2w(q, t)
         fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
-        rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2)
+        rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2,
+                              occ_grid=occ_grid)
         name = "%03d" % i
         cv2.imwrite(os.path.join(shot_dir, name + ".png"),
                     (np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))

@@ -16,7 +16,8 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .ngp import NGPField, camera_rays, render_rays
+from .ngp import (NGPField, camera_rays, init_occupancy_grid, render_rays,
+                  render_rays_occ, update_occupancy_grid)
 
 
 class NerfDataset(NamedTuple):
@@ -54,32 +55,50 @@ def load_nerf_dataset(transforms_path: str, image_root: str,
 
 
 def make_nerf_train_step(field: NGPField, tx: optax.GradientTransformation,
-                         num_samples: int = 128):
-    def loss_fn(variables, o, d, target, rng):
-        rgb, _, _ = render_rays(field, variables, o, d, num_samples, rng)
-        return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
+                         num_samples: int = 128, num_fine: int = 64):
+    """Returns (uniform_step, occ_step): identical Adam updates, the second
+    renders through the occupancy grid (render_rays_occ)."""
+    def make(render):
+        def loss_fn(variables, o, d, target, rng, *extra):
+            rgb, _, _ = render(variables, o, d, rng, *extra)
+            return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
 
-    @jax.jit
-    def step(variables, opt_state, o, d, target, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(variables, o, d, target, rng)
-        updates, opt_state = tx.update(grads, opt_state, variables)
-        variables = optax.apply_updates(variables, updates)
-        return variables, opt_state, loss
+        @jax.jit
+        def step(variables, opt_state, o, d, target, rng, *extra):
+            loss, grads = jax.value_and_grad(loss_fn)(variables, o, d, target,
+                                                      rng, *extra)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            return variables, opt_state, loss
 
-    return step
+        return step
+
+    uniform = make(lambda v, o, d, rng: render_rays(field, v, o, d,
+                                                    num_samples, rng))
+    occ = make(lambda v, o, d, rng, grid: render_rays_occ(
+        field, v, grid, o, d, num_coarse=num_samples, num_fine=num_fine,
+        rng=rng))
+    return uniform, occ
 
 
 def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                lr: float = 1e-2, seed: int = 0, log_every: int = 500,
-               field: Optional[NGPField] = None):
-    """Returns (field, variables, losses)."""
+               field: Optional[NGPField] = None, use_occupancy: bool = True,
+               occ_resolution: int = 128, occ_update_every: int = 16,
+               occ_warmup: int = 256):
+    """Returns (field, variables, losses). After `occ_warmup` uniform-sampling
+    steps, maintains an EMA occupancy grid (updated every `occ_update_every`
+    steps) and trains through occupancy-guided sampling — the instant-ngp
+    density-bitfield acceleration, TPU-shaped (ngp.py)."""
     field = field or NGPField()
     rng = jax.random.PRNGKey(seed)
     variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(optax.exponential_decay(lr, steps, 0.1)))
     opt_state = tx.init(variables)
-    step = make_nerf_train_step(field, tx)
+    step_uniform, step_occ = make_nerf_train_step(field, tx)
+    occ_grid = init_occupancy_grid(occ_resolution) if use_occupancy else None
+    occ_update = jax.jit(lambda v, g, r: update_occupancy_grid(field, v, g, r))
 
     F, H, W = ds.images.shape[:3]
     np_rng = np.random.default_rng(seed)
@@ -102,21 +121,38 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
         d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
         o = c2w[:, :3, 3]
         rng, sub = jax.random.split(rng)
-        variables, opt_state, loss = step(variables, opt_state, o, d, target, sub)
+        in_occ_phase = use_occupancy and i >= occ_warmup
+        if in_occ_phase and (i - occ_warmup) % occ_update_every == 0:
+            rng, gr = jax.random.split(rng)
+            occ_grid = occ_update(variables, occ_grid, gr)
+        if in_occ_phase:
+            variables, opt_state, loss = step_occ(variables, opt_state, o, d,
+                                                  target, sub, occ_grid)
+        else:
+            variables, opt_state, loss = step_uniform(variables, opt_state, o,
+                                                      d, target, sub)
         if i % log_every == 0:
             losses.append(float(loss))
-    return field, variables, losses
+    return field, variables, losses, occ_grid
 
 
 def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
                  fx: float, fy: float, cx: float, cy: float,
-                 chunk: int = 16384) -> Tuple[np.ndarray, np.ndarray]:
-    """Full-frame render (rgb, depth) — the screenshot path (run.py:278-305)."""
+                 chunk: int = 16384, occ_grid=None, num_fine: int = 96
+                 ) -> Tuple[np.ndarray, np.ndarray]:
+    """Full-frame render (rgb, depth) — the screenshot path (run.py:278-305).
+    With occ_grid, MLP work drops from 192 uniform to `num_fine` guided
+    samples per ray."""
     rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     pix = np.stack([rows, cols], -1).reshape(-1, 2).astype(np.float32)
     rgb = np.empty((H * W, 3), np.float32)
     dep = np.empty((H * W,), np.float32)
-    render = jax.jit(lambda o, d: render_rays(field, variables, o, d, 192)[:2])
+    if occ_grid is not None:
+        render = jax.jit(lambda o, d: render_rays_occ(
+            field, variables, occ_grid, o, d, num_coarse=192,
+            num_fine=num_fine)[:2])
+    else:
+        render = jax.jit(lambda o, d: render_rays(field, variables, o, d, 192)[:2])
     c2w_j = jnp.asarray(c2w.astype(np.float32))
     for beg in range(0, len(pix), chunk):
         sub = pix[beg:beg + chunk]

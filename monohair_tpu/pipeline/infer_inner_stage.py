@@ -58,9 +58,18 @@ def run_infer_inner(args: Config, mesh=None) -> None:
         occ_vars = _load_variables(args, "occ", occ_model, inputs)
         ori_vars = _load_variables(args, "ori", ori_model, inputs)
         vsize = float(args.get("mvs", {}).get("eval_vsize", 0.005))
+        # colmap-guided fine sampling (EvalDataset.py:39-52): on by default
+        # whenever the coarse mesh exists, like the reference real-data config
+        queries = None
+        colmap_path = os.path.join(root, "ours", "colmap_points.obj")
+        if (args.get("mvs", {}).get("use_colmap_points", True)
+                and os.path.exists(colmap_path)):
+            from ..mvs.eval import colmap_guided_queries
+            queries = colmap_guided_queries(colmap_path, vsize=vsize)
+            print(f"[infer_inner] colmap-guided queries: {len(queries)}")
         deep_mvs_eval(inputs, occ_model, occ_vars, ori_model, ori_vars,
                       save_folder=os.path.join(root, "ours"), mesh=mesh,
-                      vsize=vsize)
+                      vsize=vsize, query_points=queries)
 
         fuse_args = Config(args.to_dict())
         fuse_args.PMVO["infer_inner"] = True

@@ -59,3 +59,31 @@ def test_deep_mvs_eval_artifacts(tmp_path, rng):
 
     assert (tmp_path / "Voxel_hair" / "Occ3D.mat").exists()
     assert (tmp_path / "Voxel_hair" / "Ori3D.mat").exists()
+
+
+def test_colmap_guided_queries(tmp_path):
+    """EvalDataset.py:39-52 semantics: fine vsize/4 grid over the mesh bbox +
+    one jittered sample per vsize/8 voxel around the mesh surface."""
+    from monohair_tpu.constants import BUST_TO_ORIGIN
+    from monohair_tpu.io.mesh_io import save_obj
+    from monohair_tpu.mvs.eval import colmap_guided_queries
+
+    # a small quad patch near the head region (world frame, pre bust shift)
+    s = 0.02
+    v = np.array([[-s, -s, 0], [s, -s, 0], [s, s, 0], [-s, s, 0]], np.float32)
+    v = v - BUST_TO_ORIGIN
+    f = np.array([[0, 1, 2], [0, 2, 3]])
+    path = str(tmp_path / "colmap_points.obj")
+    save_obj(path, v, f)
+
+    q = colmap_guided_queries(path, vsize=0.005)
+    assert q.dtype == np.float32 and q.shape[1] == 3
+    # all queries stay within the mesh bbox (+ one fine-voxel jitter margin)
+    lo, hi = q.min(0), q.max(0)
+    assert (hi - lo).max() < 2 * s + 0.01
+    # fine grid step is vsize/4 in the leading block
+    xs = np.unique(q[:len(q) // 2, 0])
+    if len(xs) > 1:
+        assert abs(np.diff(xs).min() - 0.005 / 4) < 1e-6
+    # denser than the coarse full-bbox grid restricted to the same bbox would be
+    assert len(q) > ((2 * s) / (0.005 / 4)) ** 2

@@ -53,11 +53,62 @@ def test_nerf_overfits_tiny_scene():
                            ds.fx, ds.fy, ds.cx, ds.cy, chunk=1600)
     p0 = psnr(rgb0, ds.images[0])
 
-    field, variables, losses = train_nerf(
-        ds, steps=300, rays_per_batch=1024, lr=5e-3, log_every=100, field=field)
+    field, variables, losses, _ = train_nerf(
+        ds, steps=300, rays_per_batch=1024, lr=5e-3, log_every=100, field=field,
+        use_occupancy=False)
     assert losses[-1] < losses[0] * 0.5, losses
 
     rgb, _ = render_image(field, variables, ds.c2w[0], 40, 40,
                           ds.fx, ds.fy, ds.cx, ds.cy, chunk=1600)
     p = psnr(rgb, ds.images[0])
     assert p > p0 + 3.0, (p0, p)  # training clearly improves the render
+
+
+def test_occupancy_sampler_concentrates_samples():
+    """occupancy_sample_ts places ~all fine samples inside occupied cells."""
+    import jax.numpy as jnp
+    from monohair_tpu.nerf.ngp import occupancy_sample_ts
+
+    R, bound = 32, 1.5
+    values = np.zeros((R, R, R), np.float32)
+    # occupied slab: |x| < 0.25 (center cells along the x axis)
+    xs = (np.arange(R) + 0.5) / R * 2 * bound - bound
+    values[np.abs(xs) < 0.25] = 10.0
+    o = jnp.asarray(np.tile([-1.4, 0.0, 0.0], (8, 1)).astype(np.float32))
+    d = jnp.asarray(np.tile([1.0, 0.0, 0.0], (8, 1)).astype(np.float32))
+    t = np.asarray(occupancy_sample_ts(jnp.asarray(values), o, d,
+                                       num_coarse=64, num_fine=32, bound=bound))
+    x_hit = -1.4 + t
+    inside = np.abs(x_hit) < 0.3
+    assert inside.mean() > 0.85, f"only {inside.mean():.2f} of samples in slab"
+    assert (np.diff(t, axis=-1) >= 0).all()  # sorted
+
+
+def test_occupancy_grid_update_marks_density():
+    """update_occupancy_grid EMA: cells over the learned ball become occupied,
+    far-field stays empty; render through the grid matches the uniform render."""
+    import jax
+    import jax.numpy as jnp
+    from monohair_tpu.nerf.ngp import (init_occupancy_grid, occupancy_threshold,
+                                       render_rays_occ, render_rays,
+                                       update_occupancy_grid)
+
+    ds = make_scene()
+    field = NGPField(cfg=TINY, hidden=16, geo_feat=7)
+    field, variables, losses, occ_grid = train_nerf(
+        ds, steps=220, rays_per_batch=1024, lr=5e-3, log_every=100, field=field,
+        use_occupancy=True, occ_resolution=24, occ_warmup=80,
+        occ_update_every=8)
+    assert occ_grid is not None and occ_grid.shape == (24, 24, 24)
+    occ = np.asarray(occ_grid) > float(occupancy_threshold(occ_grid))
+    assert 0.0 < occ.mean() < 0.9, f"degenerate occupancy {occ.mean()}"
+
+    # guided and uniform renders agree on the trained scene
+    o = jnp.asarray(np.tile([2.0, 0.2, 0.0], (64, 1)).astype(np.float32))
+    dirs = np.tile([-1.0, -0.1, 0.0], (64, 1))
+    dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+    d = jnp.asarray(dirs.astype(np.float32))
+    rgb_u, _, op_u = render_rays(field, variables, o, d, 128)
+    rgb_o, _, op_o = render_rays_occ(field, variables, occ_grid, o, d,
+                                     num_coarse=128, num_fine=64)
+    assert np.abs(np.asarray(rgb_u) - np.asarray(rgb_o)).mean() < 0.08
