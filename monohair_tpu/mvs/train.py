@@ -78,6 +78,27 @@ def make_train_step(model, tx, is_occ: bool):
     return step
 
 
+def make_eval_step(model, is_occ: bool):
+    """Jitted inference step(state, imgs, w2c, ndc, pts, targets) ->
+    (loss, outputs) with frozen batch stats (the val columns of the
+    reference's stats_{occ,ori}.txt curves)."""
+
+    @jax.jit
+    def step(state: TrainState, imgs, w2c, ndc, pts, targets):
+        coord, cam = mvs_projection(w2c, ndc, pts)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        out = model.apply(variables, imgs, pts, cam, coord, train=False)
+        if is_occ:
+            loss = OccAttn.loss(out, targets)
+        else:
+            out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                                    1e-12)
+            loss = OriAttn.loss(out, targets)
+        return loss, out
+
+    return step
+
+
 def occ_metrics(logits: jnp.ndarray, labels: jnp.ndarray) -> Dict[str, float]:
     """Precision/recall like OccMetric (Utils/Utils.py:336-363)."""
     pred = np.asarray(logits[:, 1] > logits[:, 0])

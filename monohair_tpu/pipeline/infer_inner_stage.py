@@ -79,9 +79,14 @@ def run_infer_inner(args: Config, mesh=None) -> None:
 
 
 def _load_variables(args: Config, kind: str, model, inputs):
-    """Load a converted torch checkpoint if configured, else init fresh."""
+    """Load a checkpoint if configured — a torch .pth (converted on the fly) or
+    an orbax tree written by train_mvs.py — else init fresh."""
     import jax
     ckpt = args.get("mvs", {}).get(f"{kind}_model_path")
+    if ckpt and os.path.isdir(ckpt):
+        from ..checkpoint import load_pytree
+        tree = load_pytree(ckpt)
+        return {"params": tree["params"], "batch_stats": tree["batch_stats"]}
     if ckpt and os.path.exists(ckpt):
         sd = load_torch_checkpoint(ckpt)
         params, stats = convert_pifu_checkpoint(

@@ -2,17 +2,76 @@
 """Train the DeepMVSHair-equivalent occupancy/orientation nets.
 
 The reference ships eval + checkpoints but no trainer (SURVEY.md §2.4 #27).
+This driver fills the gap with the hygiene the shipped training curves imply
+(trained/*/stats_{occ,ori}.txt): a held-out val split evaluated periodically,
+stats files in the reference's column layout (occ: train loss/prec/recall +
+val loss/prec/recall; ori: train L1 + val L1), orbax checkpointing with
+--resume, and a streaming LRU case store so the dataset never has to fit in
+host memory.
+
 Usage:
-    python train_mvs.py --data_root=<cases> --kind=occ --steps=20000
+    python train_mvs.py --data_root=<cases> --calib=<cam_params.json> \
+        --kind=occ --steps=20000 [--resume]
 Each case directory must hold imgs/<view>/{undirectional_map,hair_depth,
 bust_depth,mask}.png, cam_params.json, and GT Occ3D/Ori3D mats.
 """
 
 import argparse
 import os
-import sys
+from collections import OrderedDict
 
 import numpy as np
+
+
+class CaseStore:
+    """Lazy per-case loader with an LRU cache of at most `max_cached` cases
+    (images + sampled points), so multi-case training streams from disk."""
+
+    def __init__(self, data_root: str, calib: str, kind: str,
+                 val_frac: float, max_cached: int = 4, seed: int = 0):
+        self.root = data_root
+        self.calib = calib
+        self.kind = kind
+        self.val_frac = val_frac
+        self.max_cached = max_cached
+        self.seed = seed
+        self.cases = sorted(d for d in os.listdir(data_root)
+                            if os.path.isdir(os.path.join(data_root, d)))
+        if not self.cases:
+            raise SystemExit(f"no case directories under {data_root}")
+        self._cache = OrderedDict()
+
+    def get(self, case: str):
+        if case in self._cache:
+            self._cache.move_to_end(case)
+            return self._cache[case]
+        from monohair_tpu.coords import voxel_to_world
+        from monohair_tpu.io.mat_io import load_occ_mat, load_ori_mat
+        from monohair_tpu.mvs.eval import load_mvs_inputs
+        from monohair_tpu.mvs.sampling import (sample_occ_training_points,
+                                               sample_ori_training_points)
+        import jax.numpy as jnp
+
+        cd = os.path.join(self.root, case)
+        inputs, _ = load_mvs_inputs(cd, self.calib)
+        occ = load_occ_mat(os.path.join(cd, "ours/Occ3D.mat"))
+        if self.kind == "occ":
+            pts_v, targets = sample_occ_training_points(occ)
+        else:
+            ori = load_ori_mat(os.path.join(cd, "ours/Ori3D.mat"))
+            pts_v, targets = sample_ori_training_points(occ, ori)
+        pts_w = np.asarray(voxel_to_world(jnp.asarray(pts_v))).astype(np.float32)
+        # deterministic per-case val split (stable across resumes)
+        rng = np.random.default_rng(self.seed + hash(case) % (2 ** 31))
+        perm = rng.permutation(len(pts_w))
+        n_val = int(len(perm) * self.val_frac)
+        entry = {"inputs": inputs,
+                 "train": (pts_w[perm[n_val:]], targets[perm[n_val:]]),
+                 "val": (pts_w[perm[:n_val]], targets[perm[:n_val]])}
+        self._cache[case] = entry
+        while len(self._cache) > self.max_cached:
+            self._cache.popitem(last=False)
+        return entry
 
 
 def main():
@@ -24,54 +83,88 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="checkpoints/mvs")
+    ap.add_argument("--val_frac", type=float, default=0.1)
+    ap.add_argument("--eval_every", type=int, default=500)
+    ap.add_argument("--save_every", type=int, default=5000)
+    ap.add_argument("--max_cached_cases", type=int, default=4)
+    ap.add_argument("--resume", action="store_true",
+                    help="restore params/opt state/step from --out and continue")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from monohair_tpu.checkpoint import save_pytree
-    from monohair_tpu.coords import voxel_to_world
-    from monohair_tpu.io.mat_io import load_occ_mat, load_ori_mat
+    from monohair_tpu.checkpoint import load_pytree, save_pytree
     from monohair_tpu.models.pifu import OccAttn, OriAttn
-    from monohair_tpu.mvs.eval import load_mvs_inputs
-    from monohair_tpu.mvs.sampling import (sample_occ_training_points,
-                                           sample_ori_training_points)
-    from monohair_tpu.mvs.train import create_state, make_train_step, occ_metrics
+    from monohair_tpu.mvs.train import (TrainState, create_state, make_eval_step,
+                                        make_train_step, occ_metrics)
 
-    cases = sorted(d for d in os.listdir(args.data_root)
-                   if os.path.isdir(os.path.join(args.data_root, d)))
-    data = []
-    for case in cases:
-        cd = os.path.join(args.data_root, case)
-        inputs, _ = load_mvs_inputs(cd, args.calib)
-        occ = load_occ_mat(os.path.join(cd, "ours/Occ3D.mat"))
-        if args.kind == "occ":
-            pts_v, targets = sample_occ_training_points(occ)
-        else:
-            ori = load_ori_mat(os.path.join(cd, "ours/Ori3D.mat"))
-            pts_v, targets = sample_ori_training_points(occ, ori)
-        pts_w = np.asarray(voxel_to_world(jnp.asarray(pts_v)))
-        data.append((inputs, pts_w.astype(np.float32), targets))
-    print(f"{len(data)} training cases")
-
-    V = data[0][0].imgs.shape[0]
-    H, W = data[0][0].imgs.shape[1:3]
+    store = CaseStore(args.data_root, args.calib, args.kind, args.val_frac,
+                      args.max_cached_cases)
+    print(f"{len(store.cases)} training cases (streaming, "
+          f"cache {args.max_cached_cases})")
+    first = store.get(store.cases[0])
+    V, H, W = first["inputs"].imgs.shape[:3]
     is_occ = args.kind == "occ"
     model = (OccAttn if is_occ else OriAttn)(num_views=V)
     state, tx = create_state(model, jax.random.PRNGKey(0), V, (H, W), lr=args.lr)
     step = make_train_step(model, tx, is_occ=is_occ)
+    eval_step = make_eval_step(model, is_occ)
 
-    rng = np.random.default_rng(0)
-    for i in range(args.steps):
-        inputs, pts, targets = data[i % len(data)]
-        sel = rng.integers(0, len(pts), args.batch)
-        state, loss = step(state, inputs.imgs, inputs.w2c, inputs.ndc,
-                           jnp.asarray(pts[sel]), jnp.asarray(targets[sel]))
-        if i % 500 == 0:
-            print(f"step {i}: loss {float(loss):.4f}")
     os.makedirs(args.out, exist_ok=True)
-    save_pytree(os.path.join(args.out, args.kind),
-                {"params": state.params, "batch_stats": state.batch_stats})
-    print("saved", os.path.join(args.out, args.kind))
+    ckpt_path = os.path.join(args.out, args.kind)
+    stats_path = os.path.join(args.out, f"stats_{args.kind}.txt")
+    start = 0
+    if args.resume and os.path.exists(ckpt_path):
+        restored = load_pytree(ckpt_path, like=state._asdict())
+        state = TrainState(**restored)
+        start = int(state.step)
+        print(f"resumed from {ckpt_path} at step {start}")
+
+    def batch_metrics(out, targets, loss):
+        if is_occ:
+            m = occ_metrics(out, targets)
+            return [float(loss), m["precision"], m["recall"]]
+        return [float(loss)]
+
+    def evaluate(split):
+        """Aggregate the split over every case (batched, eval-mode)."""
+        rows = []
+        for case in store.cases:
+            entry = store.get(case)
+            pts, targets = entry[split]
+            if not len(pts):
+                continue
+            sel = np.arange(min(len(pts), 4 * args.batch))
+            for beg in range(0, len(sel), args.batch):
+                sub = sel[beg:beg + args.batch]
+                if len(sub) < args.batch:  # static shapes: pad + trim
+                    sub = np.concatenate([sub, np.repeat(sub[-1:],
+                                                         args.batch - len(sub))])
+                loss, out = eval_step(state, entry["inputs"].imgs,
+                                      entry["inputs"].w2c, entry["inputs"].ndc,
+                                      jnp.asarray(pts[sub]),
+                                      jnp.asarray(targets[sub]))
+                rows.append(batch_metrics(out, targets[sub], loss))
+        return np.mean(rows, 0) if rows else np.zeros(3 if is_occ else 1)
+
+    rng = np.random.default_rng(start)
+    for i in range(start, args.steps):
+        entry = store.get(store.cases[int(rng.integers(0, len(store.cases)))])
+        pts, targets = entry["train"]
+        sel = rng.integers(0, len(pts), args.batch)
+        state, loss = step(state, entry["inputs"].imgs, entry["inputs"].w2c,
+                           entry["inputs"].ndc, jnp.asarray(pts[sel]),
+                           jnp.asarray(targets[sel]))
+        if i % args.eval_every == 0:
+            tr = evaluate("train")
+            va = evaluate("val")
+            line = "\t".join(f"{x:.6f}" for x in np.concatenate([tr, va]))
+            with open(stats_path, "a") as f:
+                f.write(line + "\n")
+            print(f"step {i}: {line}")
+        if (i + 1) % args.save_every == 0 or i + 1 == args.steps:
+            save_pytree(ckpt_path, state._asdict())
+    print("saved", ckpt_path)
 
 
 if __name__ == "__main__":
