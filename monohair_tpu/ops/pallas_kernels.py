@@ -117,6 +117,141 @@ def patch_min_loss_fused(prj_dir: jnp.ndarray, ori_patch: jnp.ndarray,
     return num[:N, :S], den[:N, :S], cnt[:N, :S]
 
 
+# -----------------------------------------------------------------------------
+# DMA patch gather (the observe_points hot spot, reference PMVO.py:482-529).
+#
+# XLA lowers image[rows, cols] to per-element gathers — measured 426 ms for the
+# (V=16, N=32k, P=49, C) patch fetch at 1920x1080, ~half the whole PMVO
+# forward. Each point's taps are a contiguous (patch, patch) window, so the
+# DMA engine can fetch the whole window with ONE strided descriptor per point.
+#
+# Hardware constraints: HBM DMA slices must be 8-aligned x multiple-of-8 on
+# the sublane (row) dim and 128-aligned x multiple-of-128 on the lane dim —
+# but window origins are arbitrary pixels. So channels fold into the lane
+# axis (map row = W*C lanes), each DMA fetches the ALIGNED 16-row x 256-lane
+# span covering the window, and the residual (row, lane) shifts resolve
+# on-chip as two one-hot MXU contractions — vector shifts expressed as
+# matmuls, which the MXU does for free relative to the DMA time. Edge
+# clamping via a pre-padded map.
+# -----------------------------------------------------------------------------
+
+_GATHER_SPAN = 256  # two 128-lane groups always cover a (patch*C <= 128) window
+_ROW_SPAN = 16      # two 8-row groups always cover a (patch <= 8) window
+
+
+def _gather_kernel(rc_smem, rc_vmem, maps_ref, out_ref, scratch, sems, *,
+                   tile_n: int, patch: int, C: int, wave: int):
+    v = pl.program_id(0)
+
+    def start(i):
+        row0 = pl.multiple_of(rc_smem[0, i, 0] // 8 * 8, 8)
+        lane0 = pl.multiple_of((rc_smem[0, i, 1] * C) // 128 * 128, 128)
+        dma = pltpu.make_async_copy(
+            maps_ref.at[v].at[pl.ds(row0, _ROW_SPAN),
+                              pl.ds(lane0, _GATHER_SPAN)],
+            scratch.at[i], sems.at[i % (2 * wave)])
+        dma.start()
+        return dma
+
+    # software pipeline: keep one wave in flight while the previous drains
+    inflight = [start(i) for i in range(min(wave, tile_n))]
+    for i in range(wave, tile_n):
+        inflight.append(start(i))
+        inflight.pop(0).wait()
+    for dma in inflight:
+        dma.wait()
+
+    # residual shifts as one-hot contractions:
+    #   rows:  rsel[i, p, r] = (r == roff_i + p)    (TN, patch, 16)
+    #   lanes: lsel[i, l, k] = (l == loff_i + k)    (TN, 256, patch*C)
+    K = patch * C
+    roff = rc_vmem[0, :, 0] % 8
+    loff = (rc_vmem[0, :, 1] * C) % 128
+    p_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_n, patch, _ROW_SPAN), 1)
+    r_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_n, patch, _ROW_SPAN), 2)
+    rsel = jnp.where(r_idx == roff[:, None, None] + p_idx, 1.0, 0.0)
+    l_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_n, _GATHER_SPAN, K), 1)
+    k_idx = jax.lax.broadcasted_iota(jnp.int32, (tile_n, _GATHER_SPAN, K), 2)
+    lsel = jnp.where(l_idx == loff[:, None, None] + k_idx, 1.0, 0.0)
+    # HIGHEST precision: the default bf16 MXU pass would truncate the gathered
+    # VALUES (these matmuls are data movement, not math)
+    rows = jax.lax.dot_general(rsel, scratch[:], (((2,), (1,)), ((0,), (0,))),
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
+    out_ref[0] = jax.lax.dot_general(
+        rows, lsel, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
+@functools.partial(jax.jit, static_argnames=("patch_size", "tile_n", "interpret"))
+def patch_gather_dma(padded_maps: jnp.ndarray, rc: jnp.ndarray,
+                     patch_size: int, tile_n: int = 32,
+                     interpret: bool = False) -> jnp.ndarray:
+    """Gather (patch x patch) windows from every view via strided DMA.
+
+    padded_maps: (V, H + patch - 1, W + patch - 1, C) edge-padded maps,
+    C * patch_size <= 128; rc: (V, N, 2) int32 window CENTERS in unpadded
+    coords, already clamped to [0, H-1] x [0, W-1] (padding makes
+    center-anchored windows in-bounds, reproducing gather_patches' per-tap edge
+    clamp). Returns (V, N, P, C) with taps in row-major offset order.
+    """
+    V, Hp, Wp, C = padded_maps.shape
+    _, N, _ = rc.shape
+    # worst-case residual offsets: 7 rows, 128 - C lanes
+    assert patch_size + 7 <= _ROW_SPAN, "window rows must fit the row span"
+    assert C * patch_size + 128 - C <= _GATHER_SPAN, "window must fit the span"
+    N_pad = int(np.ceil(N / tile_n) * tile_n)
+    rc_p = jnp.pad(rc, ((0, 0), (0, N_pad - N), (0, 0)))
+
+    # fold channels into lanes; margins so the aligned 16-row x 256-lane span
+    # never overruns the bottom/right edge
+    lanes = Wp * C
+    lanes_pad = int(np.ceil((lanes + _GATHER_SPAN) / 128) * 128)
+    rows_pad = int(np.ceil((Hp + _ROW_SPAN) / 8) * 8)
+    maps_flat = jnp.pad(padded_maps.reshape(V, Hp, lanes),
+                        ((0, 0), (0, rows_pad - Hp), (0, lanes_pad - lanes)))
+
+    grid = (V, N_pad // tile_n)
+    out_shape = jax.ShapeDtypeStruct((V, N_pad, patch_size, patch_size * C),
+                                     jnp.float32)
+    wave = 16
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, tile_n=tile_n, patch=patch_size,
+                          C=C, wave=wave),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, tile_n, 2), lambda v, i: (v, i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, tile_n, 2), lambda v, i: (v, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),        # maps stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, tile_n, patch_size, patch_size * C),
+                               lambda v, i: (v, i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((tile_n, _ROW_SPAN, _GATHER_SPAN),
+                                   jnp.float32),
+                        pltpu.SemaphoreType.DMA((2 * wave,))],
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(rc_p, rc_p, maps_flat)
+    return out[:, :N].reshape(V, N, patch_size * patch_size, C)
+
+
+def patch_gather_reference(padded_maps: jnp.ndarray, rc: jnp.ndarray,
+                           patch_size: int) -> jnp.ndarray:
+    """Plain-XLA equivalent of patch_gather_dma (A/B tests and CPU)."""
+    half = patch_size // 2
+    offs = jnp.arange(0, patch_size)
+    orow = jnp.repeat(offs, patch_size)
+    ocol = jnp.tile(offs, patch_size)
+    rows = rc[..., 0:1] + orow          # padded coords: center rc -> rc + off
+    cols = rc[..., 1:2] + ocol
+    return jax.vmap(lambda m, r, c: m[r, c])(padded_maps, rows, cols)
+
+
 def patch_min_loss_reference(prj_dir, ori_patch, conf_patch, visible,
                              conf_threshold):
     """Plain-XLA equivalent of the fused kernel (for A/B tests and CPU)."""

@@ -2,17 +2,18 @@
 
 The reference voxelizes with a Python dict keyed by "x_y_z" strings and runs a
 per-voxel medoid-direction selection (PMVO.py:707-726 + PMVO_utils.py:366-382
-`compute_points_similarity`). Here the whole operation is two XLA scatters over
-flat voxel ids — O(N) with no host loop.
+`compute_points_similarity`). Here the whole operation is scatters over flat
+voxel ids — O(N) with no host loop.
 
-Direction aggregation: directions are sign-canonicalized (flipped so y <= 0, as
-the caller does at PMVO.py:702-703) and averaged per voxel, then renormalized.
-The reference instead picks the member direction maximizing mean sign-agnostic
-cosine to the others (a medoid); after canonicalization the mean and medoid are
-nearly identical for the few (<=~32) samples per voxel, and the mean is a single
-segment-sum. `medoid_refine=True` additionally snaps the mean to the nearest
-member direction, which reproduces the reference's "pick an actual member"
-behavior exactly in the common case.
+Direction aggregation is the principal eigenvector of the per-voxel orientation
+matrix sum(d d^T) (power iteration, fully vectorized): the textbook
+sign-agnostic axis average. Measured against the reference's medoid on
+realistic bundles (tests/test_ops.py::test_voxelize_mean_vs_medoid_deviation_stat):
+the eigenvector lands *closer to the true direction than the medoid itself*
+(median 4.2 deg vs 6.0 deg error at ~15 deg member noise); a naive
+y<=0-canonicalized mean is NOT safe — it cancels catastrophically for
+directions near the y=0 plane (p95 55 deg), which is why this module does not
+use it.
 """
 
 from __future__ import annotations
@@ -50,17 +51,39 @@ def voxelize_directions(points: jnp.ndarray, dirs: jnp.ndarray,
     ids = flat_voxel_id(idx, res)
     nvox = int(res[0] * res[1] * res[2])
 
-    d = canonicalize_down(dirs)
+    d = dirs / jnp.maximum(jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12)
     w = jnp.ones(points.shape[0], points.dtype) if weights is None else weights
     counts = jnp.zeros(nvox, points.dtype).at[ids].add(w)
-    sums = jnp.zeros((nvox, 3), points.dtype).at[ids].add(d * w[:, None])
+    # orientation (scatter) matrix: the 6 unique entries of sum(w * d d^T)
+    outer = jnp.stack([d[:, 0] * d[:, 0], d[:, 1] * d[:, 1], d[:, 2] * d[:, 2],
+                       d[:, 0] * d[:, 1], d[:, 0] * d[:, 2], d[:, 1] * d[:, 2]],
+                      -1) * w[:, None]
+    M6 = jnp.zeros((nvox, 6), points.dtype).at[ids].add(outer)
 
     occ = (counts > 0).astype(jnp.float32)
-    mean = sums / jnp.maximum(counts[:, None], 1e-6)
-    norm = jnp.linalg.norm(mean, axis=-1, keepdims=True)
-    ori = jnp.where(norm > 1e-6, mean / jnp.maximum(norm, 1e-6), 0.0)
+    ori = principal_axis(M6)
+    # store with y <= 0 like the reference's pre-voxelize flip (PMVO.py:702-703)
+    ori = canonicalize_down(ori) * occ[:, None]
     X, Y, Z = grid_resolution
     return occ.reshape(X, Y, Z), ori.reshape(X, Y, Z, 3)
+
+
+def principal_axis(M6: jnp.ndarray, iters: int = 12) -> jnp.ndarray:
+    """Largest eigenvector of symmetric 3x3 matrices given as (..., 6) packed
+    [xx, yy, zz, xy, xz, yz] — power iteration, initialized from the column
+    with the largest diagonal entry (never orthogonal to the principal axis)."""
+    xx, yy, zz, xy, xz, yz = jnp.moveaxis(M6, -1, 0)
+    M = jnp.stack([jnp.stack([xx, xy, xz], -1),
+                   jnp.stack([xy, yy, yz], -1),
+                   jnp.stack([xz, yz, zz], -1)], -2)          # (..., 3, 3)
+    diag = jnp.stack([xx, yy, zz], -1)
+    start = jnp.argmax(diag, -1)
+    v = jnp.take_along_axis(M, start[..., None, None], -1)[..., 0]
+    v = v + 1e-12
+    for _ in range(iters):
+        v = jnp.einsum("...ij,...j->...i", M, v)
+        v = v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), 1e-12)
+    return v
 
 
 def mean_direction(dirs: jnp.ndarray) -> jnp.ndarray:

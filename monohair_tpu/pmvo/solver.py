@@ -22,7 +22,7 @@ import numpy as np
 
 from ..camera import (Cameras, depth_to_z, ndc_to_pixel, pixel_index_and_validity,
                       pixel_to_ndc, project, unproject)
-from ..ops.grid_sample import gather_patches, gather_pixels
+from ..ops.grid_sample import gather_pixels
 
 
 class PMVOMaps(NamedTuple):
@@ -65,37 +65,43 @@ def compute_visible(render_depth: jnp.ndarray, z255: jnp.ndarray) -> jnp.ndarray
     return jnp.clip(vis, -1.0, 1.0)
 
 
-def observe_points(maps: PMVOMaps, points: jnp.ndarray, patch_size: int):
+def observe_points(maps: PMVOMaps, points: jnp.ndarray, patch_size: int,
+                   use_pallas: Optional[bool] = None):
     """Project (N, 3) points into all views and gather every per-view quantity.
 
     Mirror of Compute_Visible_and_Ori (PMVO.py:346-376). Returns a dict of
     (V, N, ...) arrays: uv (NDC), z, rc, invalid, depth, visible, ori, conf,
     mask, ori_patch (V,N,P,2), conf_patch (V,N,P).
+
+    On TPU the patch fetch runs as per-window strided DMA
+    (ops/pallas_kernels.patch_gather_dma) — the XLA per-element gather was
+    ~half the whole PMVO forward (426 ms / 879 ms at V=16, N=32k).
     """
+    from ..ops.pallas_kernels import patch_gather_dma, patch_gather_reference
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
     H, W = maps.image_size
     uv, z = project(maps.cameras, points)                     # (V,N,2),(V,N)
     rc, invalid = pixel_index_and_validity(uv, (H, W))
 
-    # pack per-pixel channels so each tap is ONE gather of a contiguous vector
-    # (XLA TPU gathers with a contiguous minor dim are far cheaper than four
-    # separate scalar gathers; profiling showed the gathers dominating PMVO).
-    # Only ori+conf need the full patch; depth/mask read the center tap alone,
-    # so they live in a second 16-byte-aligned map gathered once per point.
-    patch_map = jnp.concatenate([maps.ori2d, maps.conf[..., None],
-                                 jnp.zeros_like(maps.conf)[..., None]], -1)
-    center_map = jnp.stack([maps.depth, maps.mask], -1)
-
-    patch = jax.vmap(lambda pk, rc_v: gather_patches(pk, rc_v, patch_size))(
-        patch_map, rc).astype(jnp.float32)                    # (V,N,P,4)
-    dm = jax.vmap(gather_pixels)(center_map, rc).astype(jnp.float32)  # (V,N,2)
+    # one packed 8-channel map: every per-pixel quantity rides the same window
+    # DMA (channel 8-alignment keeps HBM rows 32-byte aligned)
     half = patch_size // 2
+    zeros = jnp.zeros_like(maps.conf)
+    packed = jnp.stack([maps.ori2d[..., 0], maps.ori2d[..., 1], maps.conf,
+                        maps.depth, maps.mask, zeros, zeros, zeros], -1)
+    padded = jnp.pad(packed, ((0, 0), (half, half), (half, half), (0, 0)),
+                     mode="edge")
+    gather = patch_gather_dma if use_pallas else patch_gather_reference
+    patch = gather(padded, rc, patch_size).astype(jnp.float32)  # (V,N,P,8)
+
     center = patch[:, :, (half * patch_size) + half, :]       # the (0,0) tap
     op = patch[..., 0:2]
     cp = patch[..., 2]
     o = center[..., 0:2]
     c = center[..., 2]
-    d = dm[..., 0]
-    m = dm[..., 1]
+    d = center[..., 3]
+    m = center[..., 4]
     vis = compute_visible(d, -z / 2.0 * 255.0)
     vis = jnp.where(invalid, -1.0, vis)
     return dict(uv=uv, z=z, rc=rc, invalid=invalid, depth=d, visible=vis,
@@ -223,7 +229,7 @@ def pmvo_forward(maps: PMVOMaps, points: jnp.ndarray, patch_size: int,
     Mirror of PMVO.forward (PMVO.py:39-78): candidate base views are every other
     entry of the top-20 visibility-weighted-confidence views.
     """
-    obs = observe_points(maps, points, patch_size)
+    obs = observe_points(maps, points, patch_size, use_pallas)
     base_idx, base_conf = find_base_views(obs["visible"], obs["conf"])
     offsets = jnp.asarray(depth_sample_offsets(num_sample))
 

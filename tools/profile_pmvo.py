@@ -66,9 +66,11 @@ def main():
                     jnp.asarray(np.ones((V, H, W), np.float32)))
     points = jnp.asarray((rng.normal(size=(N, 3)) * 0.05).astype(np.float32))
 
+    for up, tag in ((None, "dma"), (False, "xla")):
+        obs_t = jax.jit(lambda m, p, _up=up: observe_points(m, p, 7, _up))
+        t_obs = timed(obs_t, maps, points)
+        print(f"observe_points [{tag}]:   {t_obs*1e3:.1f} ms", flush=True)
     obs_fn = jax.jit(lambda m, p: observe_points(m, p, 7))
-    t_obs = timed(obs_fn, maps, points)
-    print(f"observe_points (gathers): {t_obs*1e3:.1f} ms", flush=True)
 
     obs = obs_fn(maps, points)
     samples = jnp.asarray(rng.normal(size=(N, S, 3)).astype(np.float32) * 0.05)

@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Capture-scale NeRF validation (VERDICT item 7): train the hash-grid NeRF on
+a synthetic 1280x720 orbit, report held-out PSNR and the IoU of the extracted
+density mesh against the analytic ground truth.
+
+The scene is an analytically-rendered matte ball (lambertian, directional
+light) — ground truth is exact, so PSNR and mesh IoU measure the field, not a
+renderer. Run on the TPU: `python tools/validate_nerf.py [--steps 3000]`.
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+RADIUS = 0.35
+ALBEDO = np.array([0.85, 0.35, 0.2])
+LIGHT = np.array([0.5, 0.8, 0.3]) / np.linalg.norm([0.5, 0.8, 0.3])
+
+
+def analytic_view(c2w, H, W, f):
+    """Ray-traced lambertian ball on dark gray background."""
+    rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    x = (cols + 0.5 - W / 2) / f
+    y = -(rows + 0.5 - H / 2) / f
+    d = np.stack([x, y, -np.ones_like(x)], -1) @ c2w[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = c2w[:3, 3]
+    b = d @ o
+    disc = b ** 2 - (o @ o - RADIUS ** 2)
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0))
+    p = o + d * t[..., None]
+    n = p / RADIUS
+    shade = np.clip(n @ LIGHT, 0, 1) * 0.9 + 0.1
+    img = np.full((H, W, 3), 0.05, np.float32)
+    img[hit] = (ALBEDO[None] * shade[hit, None]).astype(np.float32)
+    return img
+
+
+def make_orbit(num_views, H, W, f, elev=0.2):
+    imgs, poses = [], []
+    for v in range(num_views):
+        a = 2 * math.pi * v / num_views
+        eye = np.array([math.cos(a), elev, math.sin(a)]) * 1.6
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0, 1.0, 0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        c2w = np.eye(4, dtype=np.float32)
+        c2w[:3, :3] = np.stack([right, np.cross(right, fwd), -fwd], 1)
+        c2w[:3, 3] = eye
+        imgs.append(analytic_view(c2w, H, W, f))
+        poses.append(c2w)
+    return np.stack(imgs), np.stack(poses)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--views", type=int, default=24)
+    ap.add_argument("--height", type=int, default=720)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--rays", type=int, default=8192)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    from monohair_tpu.nerf.ngp import NGPField, density_grid
+    from monohair_tpu.nerf.train import NerfDataset, psnr, render_image, train_nerf
+
+    H, W = args.height, args.width
+    f = 0.5 * W  # ~53 deg hfov
+    print(f"rendering {args.views + 1} analytic views at {W}x{H}...", flush=True)
+    imgs, poses = make_orbit(args.views + 1, H, W, f)
+    train_ds = NerfDataset(imgs[:-1], poses[:-1], f, f, W / 2, H / 2)
+    test_img, test_pose = imgs[-1], poses[-1]
+
+    t0 = time.time()
+    field, variables, losses, occ_grid = train_nerf(
+        train_ds, steps=args.steps, rays_per_batch=args.rays,
+        use_occupancy=True, occ_resolution=128, log_every=max(args.steps // 8, 1))
+    t_train = time.time() - t0
+    print(f"trained {args.steps} steps in {t_train:.0f}s, losses {losses}",
+          flush=True)
+
+    t0 = time.time()
+    rgb, _ = render_image(field, variables, test_pose, H, W, f, f, W / 2, H / 2,
+                          occ_grid=occ_grid)
+    t_render = time.time() - t0
+    p = psnr(np.clip(rgb, 0, 1), test_img)
+    print(f"held-out PSNR at {W}x{H}: {p:.2f} dB (render {t_render:.1f}s)",
+          flush=True)
+
+    # mesh quality: density-grid occupancy IoU vs the analytic ball
+    res, bound = 128, 1.5
+    grid = density_grid(field, variables, res, bound=bound)
+    ax = np.linspace(-bound, bound, res)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    gt = (X ** 2 + Y ** 2 + Z ** 2) < RADIUS ** 2
+    pred = grid > 3.0
+    iou = (pred & gt).sum() / max((pred | gt).sum(), 1)
+    print(f"density-mesh IoU vs analytic ball: {iou:.3f}")
+    print(f"SUMMARY steps={args.steps} train_s={t_train:.0f} psnr={p:.2f} "
+          f"iou={iou:.3f}")
+
+
+if __name__ == "__main__":
+    main()
