@@ -70,9 +70,9 @@ def timed_device(fn, *args, iters=3):
 
 def bench_stage1_gabor(rng):
     import jax.numpy as jnp
-    from monohair_tpu.ops.gabor import gabor_orientation_confidence
+    from monohair_tpu.ops.gabor import orientation_maps
     frames = jnp.asarray(rng.random((1, 1920, 1080)).astype(np.float32))
-    t_one = timed_device(lambda f: gabor_orientation_confidence(f[0]), frames)
+    t_one = timed_device(lambda f: orientation_maps(f[0]), frames)
     return 16 * t_one
 
 
@@ -117,19 +117,22 @@ def bench_stage3_mvs(rng, total_queries=2_000_000, batch=8192):
     occ_vars = jax.jit(occ_model.init)(jax.random.PRNGKey(0), *dummy)
     ori_vars = jax.jit(ori_model.init)(jax.random.PRNGKey(1), *dummy)
 
+    # Everything array-like rides as jit args (captured device arrays bake
+    # into the HLO as constants and blow the axon remote-compile limit).
     feat_fn = jax.jit(lambda m, v, x: m.apply(v, x, method=m.get_feat),
                       static_argnums=0)
-    t_feat = timed_device(lambda x: feat_fn(occ_model, occ_vars, x), imgs,
-                          iters=2)
-    t_feat += timed_device(lambda x: feat_fn(ori_model, ori_vars, x), imgs,
-                           iters=2)
+    t_feat = timed_device(lambda v, x: feat_fn(occ_model, v, x), occ_vars,
+                          imgs, iters=2)
+    t_feat += timed_device(lambda v, x: feat_fn(ori_model, v, x), ori_vars,
+                           imgs, iters=2)
     occ_feats = feat_fn(occ_model, occ_vars, imgs)
     ori_feats = feat_fn(ori_model, ori_vars, imgs)
 
     pts = jnp.asarray((rng.random((batch, 3)).astype(np.float32) - 0.5) * 0.4)
     t_batch = timed_device(
-        lambda p: eval_points(occ_model, occ_vars, ori_model, ori_vars,
-                              occ_feats, ori_feats, w2c, ndc, p), pts)
+        lambda ov, orv, of, orf, w, nd, p: eval_points(
+            occ_model, ov, ori_model, orv, of, orf, w, nd, p),
+        occ_vars, ori_vars, occ_feats, ori_feats, w2c, ndc, pts)
     n_batches = math.ceil(total_queries / batch)
     return t_feat + n_batches * t_batch, batch / t_batch
 

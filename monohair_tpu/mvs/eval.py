@@ -90,16 +90,19 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
     occ_feats = feat_fn(occ_model, occ_vars, inputs.imgs)
     ori_feats = feat_fn(ori_model, ori_vars, inputs.imgs)
 
-    step = jax.jit(lambda pts: eval_points(occ_model, occ_vars, ori_model, ori_vars,
-                                           occ_feats, ori_feats, inputs.w2c,
-                                           inputs.ndc, pts))
+    # Feats/params/cameras are jit *arguments*, never closure captures: captured
+    # device arrays bake into the HLO as constants (GBs at capture scale, blows
+    # the axon remote-compile payload limit).
+    step = jax.jit(lambda ov, orv, of, orf, w, nd, pts: eval_points(
+        occ_model, ov, ori_model, orv, of, orf, w, nd, pts))
     pos_list, ori_list = [], []
     for beg in range(0, n, batch):
         sub = query_points[beg:beg + batch]
         valid = sub.shape[0]
         if valid < batch:
             sub = np.concatenate([sub, np.repeat(sub[-1:], batch - valid, 0)], 0)
-        p, o, _ = step(shard_batch(jnp.asarray(sub), mesh))
+        p, o, _ = step(occ_vars, ori_vars, occ_feats, ori_feats, inputs.w2c,
+                       inputs.ndc, shard_batch(jnp.asarray(sub), mesh))
         pos_list.append(np.asarray(p)[:valid])
         ori_list.append(np.asarray(o)[:valid])
     occ = np.concatenate(pos_list)

@@ -97,6 +97,8 @@ def colmap_to_transforms(colmap_dir: str, out_path: Optional[str] = None,
                            "transform_matrix": c2w.tolist()})
     data = {"camera_angle_y": fov_y,
             "camera_angle_x": 2 * math.atan(first_cam["w"] / (2 * first_cam["fx"])),
+            "fl_x": first_cam["fx"], "fl_y": first_cam["fy"],
+            "cx": first_cam["cx"], "cy": first_cam["cy"],
             "w": first_cam["w"], "h": first_cam["h"],
             "aabb_scale": aabb_scale, "frames": out_frames}
     if out_path:

@@ -302,13 +302,15 @@ def density_grid(field: NGPField, variables, resolution: int = 256,
     axes = np.linspace(-bound, bound, resolution)
     out = np.empty((resolution ** 3,), np.float32)
     pts = np.stack(np.meshgrid(axes, axes, axes, indexing="ij"), -1).reshape(-1, 3)
-    density_fn = jax.jit(lambda p: field.apply(variables, nerf_to_unit(p),
-                                               method=field.density)[0])
+    # variables ride as a jit arg: captured device arrays bake into the HLO
+    # as constants (the hash grid is tens of MB — blows the axon payload cap).
+    density_fn = jax.jit(lambda v, p: field.apply(v, nerf_to_unit(p),
+                                                  method=field.density)[0])
     for beg in range(0, len(pts), chunk):
         sub = pts[beg:beg + chunk]
         pad = chunk - sub.shape[0]
         if pad:
             sub = np.concatenate([sub, np.zeros((pad, 3), np.float32)])
-        out[beg:beg + chunk - pad] = np.asarray(density_fn(jnp.asarray(
+        out[beg:beg + chunk - pad] = np.asarray(density_fn(variables, jnp.asarray(
             sub.astype(np.float32))))[:chunk - pad]
     return out.reshape(resolution, resolution, resolution)

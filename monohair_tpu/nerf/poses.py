@@ -111,9 +111,11 @@ def generate_base_cam_from_key_frame(data_folder: str, camera_path: str,
         save_base_cam(os.path.join(video_dir, "%03d.json" % i), [m], [fovs[i]])
 
 
-def load_transforms_json(path: str):
+def load_transforms_json(path: str, return_intrinsics: bool = False):
     """NeRF transforms.json -> ({file: 4x4 c2w}, fov_y degrees)
-    (ingp_utils.load_transofrm_json :57-71)."""
+    (ingp_utils.load_transofrm_json :57-71). With return_intrinsics, also
+    returns the raw intrinsics dict (fl_x/fl_y/cx/cy when colmap2nerf wrote
+    them; else None entries) so callers need not assume fx == fy."""
     with open(path) as f:
         data = json.load(f)
     fov = math.degrees(data["camera_angle_y"])
@@ -122,7 +124,11 @@ def load_transforms_json(path: str):
         name = os.path.basename(fr["file_path"])
         name = name[:-4] if name.lower().endswith((".png", ".jpg")) else name
         xforms[name] = np.array(fr["transform_matrix"], np.float64)
-    return dict(sorted(xforms.items())), fov
+    out = dict(sorted(xforms.items()))
+    if return_intrinsics:
+        intr = {k: data.get(k) for k in ("fl_x", "fl_y", "cx", "cy", "w", "h")}
+        return out, fov, intr
+    return out, fov
 
 
 def generate_mvs_pose_from_base_cam(data_folder: str, select_files: List[str],

@@ -33,7 +33,8 @@ def load_nerf_dataset(transforms_path: str, image_root: str,
                       max_images: Optional[int] = None) -> NerfDataset:
     import cv2
     from .poses import load_transforms_json
-    xforms, fov = load_transforms_json(transforms_path)
+    xforms, fov, intr = load_transforms_json(transforms_path,
+                                             return_intrinsics=True)
     names = list(xforms)
     if max_images:
         names = names[:: max(1, len(names) // max_images)][:max_images]
@@ -50,8 +51,13 @@ def load_nerf_dataset(transforms_path: str, image_root: str,
     H, W = images.shape[1:3]
     import math
     fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
+    # prefer explicit colmap2nerf intrinsics over the fov-derived square pixel
+    fx = float(intr["fl_x"]) if intr.get("fl_x") else fy
+    fy = float(intr["fl_y"]) if intr.get("fl_y") else fy
+    cx = float(intr["cx"]) if intr.get("cx") else W / 2.0
+    cy = float(intr["cy"]) if intr.get("cy") else H / 2.0
     return NerfDataset(images, np.stack(poses).astype(np.float32),
-                       fx=fy, fy=fy, cx=W / 2.0, cy=H / 2.0)
+                       fx=fx, fy=fy, cx=cx, cy=cy)
 
 
 def make_nerf_train_step(field: NGPField, tx: optax.GradientTransformation,
@@ -147,12 +153,13 @@ def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
     pix = np.stack([rows, cols], -1).reshape(-1, 2).astype(np.float32)
     rgb = np.empty((H * W, 3), np.float32)
     dep = np.empty((H * W,), np.float32)
+    # variables/occ_grid ride as jit args, not closure captures (captured
+    # device arrays bake into the HLO as constants — axon payload cap).
     if occ_grid is not None:
-        render = jax.jit(lambda o, d: render_rays_occ(
-            field, variables, occ_grid, o, d, num_coarse=192,
-            num_fine=num_fine)[:2])
+        render = jax.jit(lambda v, g, o, d: render_rays_occ(
+            field, v, g, o, d, num_coarse=192, num_fine=num_fine)[:2])
     else:
-        render = jax.jit(lambda o, d: render_rays(field, variables, o, d, 192)[:2])
+        render = jax.jit(lambda v, g, o, d: render_rays(field, v, o, d, 192)[:2])
     c2w_j = jnp.asarray(c2w.astype(np.float32))
     for beg in range(0, len(pix), chunk):
         sub = pix[beg:beg + chunk]
@@ -160,7 +167,7 @@ def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
         if pad:
             sub = np.concatenate([sub, np.zeros((pad, 2), np.float32)])
         o, d = camera_rays(c2w_j, fx, fy, cx, cy, jnp.asarray(sub))
-        r, z = render(o, d)
+        r, z = render(variables, occ_grid, o, d)
         rgb[beg:beg + chunk - pad] = np.asarray(r)[:chunk - pad]
         dep[beg:beg + chunk - pad] = np.asarray(z)[:chunk - pad]
     return rgb.reshape(H, W, 3), dep.reshape(H, W)

@@ -83,54 +83,51 @@ def difference_of_gaussians(image: jnp.ndarray, low_sigma: float = 0.4,
     return gaussian_blur(image, low_sigma) - gaussian_blur(image, high_sigma)
 
 
-@partial(jax.jit, static_argnames=("num_orientations", "kernel_size", "chunk"))
+@partial(jax.jit, static_argnames=("num_orientations", "kernel_size", "band",
+                                   "precision"))
 def gabor_orientation(image: jnp.ndarray, num_orientations: int = GABOR_NUM_ORIENTATIONS,
-                      kernel_size: int = 17, chunk: int = 45
-                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                      kernel_size: int = 17, band: int = 128,
+                      precision: str = "high") -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Per-pixel dominant orientation + confidence of a DoG-filtered (H, W) image.
 
     Returns (orientation in radians [0, pi), confidence in [0, 1]).
 
-    Two-pass streaming over orientation chunks keeps peak memory at
-    (chunk, H, W) instead of (180, H, W): pass 1 finds max response + argmax,
-    pass 2 accumulates the orientation-weighted response variance.
+    Formulated as im2col + one matmul rather than a C_in=1 convolution: a
+    1-channel conv contracts over a single input channel, so the MXU runs at
+    ~1/128 utilization (measured 2.7 s/frame at 1080p). Extracting 17x17
+    patches moves the contraction to the 289 spatial taps — a
+    (band*W, 289) x (289, 180) matmul per row band. All orientation statistics
+    (argmax, circular-distance-weighted variance) are per-pixel, so each band
+    is fully independent; lax.map streams bands to bound peak memory at
+    ~(band*W, 289+180) while the final normalization is global.
     """
     bank = jnp.asarray(gabor_bank(kernel_size, num_orientations))
-    img = image[None, None].astype(jnp.float32)  # (1, 1, H, W)
+    mat = bank[:, 0].reshape(num_orientations, -1).T  # (k*k, O) row-major taps
     H, W = image.shape
-    n_chunks = num_orientations // chunk
-    assert n_chunks * chunk == num_orientations
+    half = kernel_size // 2
+    n_bands = -(-H // band)
+    padded = jnp.pad(image.astype(jnp.float32),
+                     ((half, half + n_bands * band - H), (half, half)))
+    orients = jnp.arange(num_orientations, dtype=jnp.float32) * (math.pi / num_orientations)
 
-    def respond(c):
-        filt = jax.lax.dynamic_slice_in_dim(bank, c * chunk, chunk, 0)
-        r = jax.lax.conv_general_dilated(
-            img, filt, (1, 1), [(kernel_size // 2,) * 2] * 2,
-            dimension_numbers=("NCHW", "OIHW", "NCHW"), precision="highest")
-        return jnp.abs(r[0])  # (chunk, H, W)
+    def do_band(b):
+        sl = jax.lax.dynamic_slice_in_dim(padded, b * band, band + 2 * half, 0)
+        patches = jax.lax.conv_general_dilated_patches(
+            sl[None, None], (kernel_size, kernel_size), (1, 1), "VALID")
+        p = patches[0].reshape(kernel_size * kernel_size, band * W).T
+        r = jnp.abs(jnp.dot(p, mat, precision=precision,
+                            preferred_element_type=jnp.float32))  # (band*W, O)
+        max_resp = jnp.max(r, -1)
+        best = jnp.argmax(r, -1).astype(jnp.float32) * (math.pi / num_orientations)
+        diff = jnp.abs(best[:, None] - orients[None, :])
+        diff = jnp.minimum(diff, math.pi - diff)
+        rd = r - max_resp[:, None]
+        var = jnp.sum(diff * rd * rd, -1)
+        return best.reshape(band, W), var.reshape(band, W)
 
-    def pass1(c, carry):
-        max_resp, argmax = carry
-        r = respond(c)
-        c_max = jnp.max(r, 0)
-        c_arg = jnp.argmax(r, 0).astype(jnp.int32) + c * chunk
-        take_new = r.max(0) > max_resp
-        return jnp.where(take_new, c_max, max_resp), jnp.where(take_new, c_arg, argmax)
-
-    max_resp, best_idx = jax.lax.fori_loop(
-        0, n_chunks, pass1,
-        (jnp.full((H, W), -jnp.inf, jnp.float32), jnp.zeros((H, W), jnp.int32)))
-
-    best_orient = best_idx.astype(jnp.float32) * (math.pi / num_orientations)
-
-    def pass2(c, acc):
-        r = respond(c)
-        o = (jnp.arange(chunk, dtype=jnp.float32) + c * chunk) * (math.pi / num_orientations)
-        diff = jnp.abs(best_orient[None] - o[:, None, None])
-        diff = jnp.minimum(diff, jnp.minimum(jnp.abs(diff - math.pi), jnp.abs(diff + math.pi)))
-        rd = r - max_resp[None]
-        return acc + jnp.sum(diff * rd * rd, 0)
-
-    variance = jnp.sqrt(jax.lax.fori_loop(0, n_chunks, pass2, jnp.zeros((H, W), jnp.float32)))
+    best_orient, variance = jax.lax.map(do_band, jnp.arange(n_bands))
+    best_orient = best_orient.reshape(n_bands * band, W)[:H]
+    variance = jnp.sqrt(variance.reshape(n_bands * band, W)[:H])
     variance = variance / jnp.maximum(jnp.max(variance), 1e-12)
     confidence = jnp.clip((variance - CLAMP_CONF_LOW) / (CLAMP_CONF_HIGH - CLAMP_CONF_LOW), 0.0, 1.0)
     return best_orient, confidence
