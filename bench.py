@@ -154,18 +154,18 @@ def bench_stage4_grow(rng, target_strands=100_000):
     segs = generate_segments(occ, ori, thr_dot=0.8, sweeps=2)
     t_trace = _t.perf_counter() - t0
 
-    n_bench = 20_000
+    # full target count straight through the native C++ kernel (connect.cpp)
     strands = []
-    for i in range(n_bench):
+    for i in range(target_strands):
         x, z = rng.integers(20, 100), rng.integers(20, 76)
-        y0 = 20 if i < n_bench // 5 else int(rng.integers(30, 50))
+        y0 = 20 if i < target_strands // 5 else int(rng.integers(30, 50))
         ys = np.arange(y0, y0 + 25)
         strands.append(np.stack([np.full_like(ys, x), ys,
                                  np.full_like(ys, z)], -1).astype(np.float64))
     t0 = _t.perf_counter()
-    connect_to_scalp(strands, n_bench // 5, occ, ori)
-    t_connect_20k = _t.perf_counter() - t0
-    return t_trace + t_connect_20k * (target_strands / n_bench)
+    connect_to_scalp(strands, target_strands // 5, occ, ori)
+    t_connect = _t.perf_counter() - t0
+    return t_trace + t_connect
 
 
 def main():

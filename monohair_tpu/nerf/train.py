@@ -60,86 +60,104 @@ def load_nerf_dataset(transforms_path: str, image_root: str,
                        fx=fx, fy=fy, cx=cx, cy=cy)
 
 
-def make_nerf_train_step(field: NGPField, tx: optax.GradientTransformation,
-                         num_samples: int = 128, num_fine: int = 64):
-    """Returns (uniform_step, occ_step): identical Adam updates, the second
-    renders through the occupancy grid (render_rays_occ)."""
-    def make(render):
-        def loss_fn(variables, o, d, target, rng, *extra):
-            rgb, _, _ = render(variables, o, d, rng, *extra)
-            return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
-
-        @jax.jit
-        def step(variables, opt_state, o, d, target, rng, *extra):
-            loss, grads = jax.value_and_grad(loss_fn)(variables, o, d, target,
-                                                      rng, *extra)
-            updates, opt_state = tx.update(grads, opt_state, variables)
-            variables = optax.apply_updates(variables, updates)
-            return variables, opt_state, loss
-
-        return step
-
-    uniform = make(lambda v, o, d, rng: render_rays(field, v, o, d,
-                                                    num_samples, rng))
-    occ = make(lambda v, o, d, rng, grid: render_rays_occ(
-        field, v, grid, o, d, num_coarse=num_samples, num_fine=num_fine,
-        rng=rng))
-    return uniform, occ
-
-
 def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                lr: float = 1e-2, seed: int = 0, log_every: int = 500,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
-               occ_warmup: int = 256):
-    """Returns (field, variables, losses). After `occ_warmup` uniform-sampling
-    steps, maintains an EMA occupancy grid (updated every `occ_update_every`
-    steps) and trains through occupancy-guided sampling — the instant-ngp
-    density-bitfield acceleration, TPU-shaped (ngp.py)."""
+               occ_warmup: int = 256, num_samples: int = 128,
+               num_fine: int = 64):
+    """Returns (field, variables, losses, occ_grid). After `occ_warmup`
+    uniform-sampling steps, maintains an EMA occupancy grid (updated every
+    `occ_update_every` steps) and trains through occupancy-guided sampling —
+    the instant-ngp density-bitfield acceleration, TPU-shaped (ngp.py).
+
+    The whole loop is device-resident: images sit in HBM as uint8, ray
+    sampling uses jax.random inside jit, and lax.scan runs
+    `occ_update_every` optimizer steps per device call (one occupancy-grid
+    EMA update at each block head). One host round trip per block instead of
+    per step — over the axon tunnel that is the difference between minutes
+    and hours at capture scale."""
     field = field or NGPField()
     rng = jax.random.PRNGKey(seed)
     variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(optax.exponential_decay(lr, steps, 0.1)))
     opt_state = tx.init(variables)
-    step_uniform, step_occ = make_nerf_train_step(field, tx)
-    occ_grid = init_occupancy_grid(occ_resolution) if use_occupancy else None
-    occ_update = jax.jit(lambda v, g, r: update_occupancy_grid(field, v, g, r))
+    occ_grid = init_occupancy_grid(occ_resolution if use_occupancy else 1)
 
     F, H, W = ds.images.shape[:3]
-    np_rng = np.random.default_rng(seed)
-    losses = []
+    imgs_u8 = jnp.asarray(
+        np.clip(np.rint(ds.images.reshape(F, H * W, 3) * 255.0), 0, 255)
+        .astype(np.uint8))
     c2w_all = jnp.asarray(ds.c2w)
-    imgs = ds.images.reshape(F, H * W, 3)
-    for i in range(steps):
-        fi = np_rng.integers(0, F, rays_per_batch)
-        pi = np_rng.integers(0, H * W, rays_per_batch)
-        rows = (pi // W).astype(np.float32)
-        cols = (pi % W).astype(np.float32)
-        target = jnp.asarray(imgs[fi, pi])
-        pix = jnp.asarray(np.stack([rows, cols], -1))
-        # per-ray camera: gather c2w then rotate dirs
-        c2w = c2w_all[jnp.asarray(fi)]
-        x = (pix[:, 1] + 0.5 - ds.cx) / ds.fx
-        y = -(pix[:, 0] + 0.5 - ds.cy) / ds.fy
-        dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
-        d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs)
-        d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-        o = c2w[:, :3, 3]
-        rng, sub = jax.random.split(rng)
-        in_occ_phase = use_occupancy and i >= occ_warmup
-        if in_occ_phase and (i - occ_warmup) % occ_update_every == 0:
-            rng, gr = jax.random.split(rng)
-            occ_grid = occ_update(variables, occ_grid, gr)
-        if in_occ_phase:
-            variables, opt_state, loss = step_occ(variables, opt_state, o, d,
-                                                  target, sub, occ_grid)
+    fx, fy, cx, cy = ds.fx, ds.fy, ds.cx, ds.cy
+
+    def one_step(use_occ):
+        def loss_fn(variables, grid, o, d, target, sub):
+            if use_occ:
+                rgb, _, _ = render_rays_occ(field, variables, grid, o, d,
+                                            num_coarse=num_samples,
+                                            num_fine=num_fine, rng=sub)
+            else:
+                rgb, _, _ = render_rays(field, variables, o, d, num_samples,
+                                        sub)
+            return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
+
+        def body(carry, sub):
+            variables, opt_state, grid, imgs, c2ws = carry
+            k_f, k_p, k_r = jax.random.split(sub, 3)
+            fi = jax.random.randint(k_f, (rays_per_batch,), 0, F)
+            pi = jax.random.randint(k_p, (rays_per_batch,), 0, H * W)
+            target = imgs[fi, pi].astype(jnp.float32) / 255.0
+            rows = (pi // W).astype(jnp.float32)
+            cols = (pi % W).astype(jnp.float32)
+            c2w = c2ws[fi]
+            x = (cols + 0.5 - cx) / fx
+            y = -(rows + 0.5 - cy) / fy
+            dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+            d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = c2w[:, :3, 3]
+            loss, grads = jax.value_and_grad(loss_fn)(variables, grid, o, d,
+                                                      target, k_r)
+            updates, opt_state = tx.update(grads, opt_state, variables)
+            variables = optax.apply_updates(variables, updates)
+            return (variables, opt_state, grid, imgs, c2ws), loss
+
+        # images/c2w ride as jit args (closure-captured device arrays bake
+        # into the HLO as constants — GBs at capture scale over axon)
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=7)
+        def block(variables, opt_state, grid, imgs, c2ws, rng, rng_grid,
+                  n_sub):
+            if use_occ:
+                grid = update_occupancy_grid(field, variables, grid, rng_grid)
+            (variables, opt_state, grid, _, _), losses = jax.lax.scan(
+                body, (variables, opt_state, grid, imgs, c2ws),
+                jax.random.split(rng, n_sub))
+            return variables, opt_state, grid, losses
+
+        return block
+
+    block_uniform = one_step(False)
+    block_occ = one_step(True)
+
+    losses, done, next_log = [], 0, 0
+    while done < steps:
+        in_occ = use_occupancy and done >= occ_warmup
+        if in_occ:
+            n_sub = min(occ_update_every, steps - done)
         else:
-            variables, opt_state, loss = step_uniform(variables, opt_state, o,
-                                                      d, target, sub)
-        if i % log_every == 0:
-            losses.append(float(loss))
-    return field, variables, losses, occ_grid
+            n_sub = min(occ_update_every, occ_warmup - done, steps - done)
+        rng, r_blk, r_grid = jax.random.split(rng, 3)
+        blk = block_occ if in_occ else block_uniform
+        variables, opt_state, occ_grid, blk_losses = blk(
+            variables, opt_state, occ_grid, imgs_u8, c2w_all, r_blk, r_grid,
+            n_sub)
+        if done + n_sub > next_log:
+            losses.append(float(blk_losses[-1]))
+            next_log += log_every
+        done += n_sub
+    return field, variables, losses, occ_grid if use_occupancy else None
 
 
 def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,

@@ -1,6 +1,7 @@
 """Segment connection, scalp attachment, occupancy validation."""
 
 import numpy as np
+import pytest
 
 from monohair_tpu.strands.connect import (SegmentConnector, attach_roots_to_scalp,
                                           connect_all_segments, connect_to_scalp,
@@ -66,7 +67,7 @@ def test_connect_all_segments_runs():
     assert max(len(s) for s in out) >= 19
 
 
-def test_connect_to_scalp_attaches():
+def _scalp_case():
     occ = np.ones((40, 40, 40), np.float32)
     ori = np.zeros((40, 40, 40, 3), np.float32)
     ori[..., 1] = 1.0
@@ -75,13 +76,31 @@ def test_connect_to_scalp_attaches():
     # HairGrow.py:703-705, so it must be near but not on it)
     good = np.stack([np.full(30, 20.0), np.arange(5.0, 35.0), np.full(30, 20.0)], -1)
     loose = np.stack([np.full(10, 21.2), np.arange(21.0, 31.0), np.full(10, 21.0)], -1)
+    return occ, ori, good, loose
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_connect_to_scalp_attaches(use_native):
+    occ, ori, good, loose = _scalp_case()
     out = connect_to_scalp([good, loose], num_root=1, occ=occ, ori_voxel=ori,
-                           out_ratio_threshold=0.5)
+                           out_ratio_threshold=0.5, use_native=use_native)
     assert len(out) == 2
     # the loose strand gained a prefix reaching down toward the good strand root
     attached = out[1]
     assert attached.shape[0] > 10
     assert attached[0, 1] < 21.0
+
+
+def test_connect_to_scalp_native_matches_python():
+    """The C++ kernel (native/connect.cpp) is deterministic-path bit-exact
+    against the Python reference implementation (jitter only fires on failed
+    occupancy validation, which this case never hits)."""
+    occ, ori, good, loose = _scalp_case()
+    out_n = connect_to_scalp([good, loose], 1, occ, ori, use_native=True)
+    out_p = connect_to_scalp([good, loose], 1, occ, ori, use_native=False)
+    assert len(out_n) == len(out_p)
+    for a, b in zip(out_n, out_p):
+        np.testing.assert_allclose(a, b, atol=1e-12)
 
 
 def test_attach_roots_to_scalp():
@@ -133,6 +152,7 @@ def test_connect_to_scalp_scale_and_time():
     t0 = time.time()
     out = connect_to_scalp(strands, n_root, occ, ori)
     dt = time.time() - t0
+    # native kernel: ~17 s on this host; python fallback stays under 120 s
     assert dt < 120, f"connect_to_scalp took {dt:.1f}s at 50k strands"
     assert len(out) > 0.5 * len(strands), f"only {len(out)} attached"
     # attached strands must start at/near a good strand and keep finite coords
