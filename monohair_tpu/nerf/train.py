@@ -144,10 +144,10 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     losses, done, next_log = [], 0, 0
     while done < steps:
         in_occ = use_occupancy and done >= occ_warmup
-        if in_occ:
-            n_sub = min(occ_update_every, steps - done)
-        else:
-            n_sub = min(occ_update_every, occ_warmup - done, steps - done)
+        n_sub = min(occ_update_every, steps - done)
+        if use_occupancy and not in_occ:
+            # stop the warmup block exactly at the occ-phase boundary
+            n_sub = min(n_sub, occ_warmup - done)
         rng, r_blk, r_grid = jax.random.split(rng, 3)
         blk = block_occ if in_occ else block_uniform
         variables, opt_state, occ_grid, blk_losses = blk(
