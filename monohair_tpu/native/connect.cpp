@@ -203,14 +203,19 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
             grid[key_of(core_pts[k])].push_back((int32_t)k);
 
         double thr2 = thr_dist * thr_dist;
-        std::vector<int32_t> nei;  // reused scratch
+        // distinct neighbor strand ids; core points are concatenated in
+        // ascending strand order, so "ascending point index" (the Python's
+        // ball-query order) collapses to "ascending strand id" — dedupe with
+        // an O(1) flag array instead of sorting thousands of point indices
+        std::vector<int32_t> nei_sids;
+        std::vector<uint8_t> sid_seen(n_strands, 0);
 
         for (int64_t i : pending) {
             std::vector<V3>& strand = strands[i].pts;
             if (strand.size() < 2) { out_root_flag[i] = 1; continue; }
             const V3 root = strand[0];
 
-            nei.clear();
+            nei_sids.clear();
             for (int dx = -1; dx <= 1; dx++)
                 for (int dy = -1; dy <= 1; dy++)
                     for (int dz = -1; dz <= 1; dz++) {
@@ -219,15 +224,22 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
                         auto it = grid.find(key_of(q));
                         if (it == grid.end()) continue;
                         for (int32_t k : it->second)
-                            if (dist2(core_pts[k], root) <= thr2)
-                                nei.push_back(k);
+                            if (dist2(core_pts[k], root) <= thr2) {
+                                int32_t sid = core_info[k];
+                                if (!sid_seen[sid]) {
+                                    sid_seen[sid] = 1;
+                                    nei_sids.push_back(sid);
+                                }
+                            }
                     }
-            if (nei.empty()) continue;
-            std::sort(nei.begin(), nei.end());
+            for (int32_t sid : nei_sids) sid_seen[sid] = 0;
+            if (nei_sids.empty()) continue;
+            std::sort(nei_sids.begin(), nei_sids.end());
+            if (nei_sids.size() > 30) nei_sids.resize(31);
 
             // orient root-first against the first neighbor's strand
             {
-                int32_t closest = core_info[nei[0]];
+                int32_t closest = nei_sids[0];
                 const std::vector<V3>& ss = strands[closest].pts;
                 if (ss.size() >= 2) {
                     double dsum = 0.0, d2;
@@ -252,24 +264,29 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
             double best_loss = 1e300;
             int64_t best_j = -1;
             size_t best_pt = 0;
-            std::vector<int32_t> seen;
-            for (int32_t k : nei) {
-                int32_t nj = core_info[k];
-                if (std::find(seen.begin(), seen.end(), nj) != seen.end())
-                    continue;
-                seen.push_back(nj);
-                if (seen.size() > 30) break;
+            size_t n_cand = std::min(nei_sids.size(), (size_t)30);
+            for (size_t si = 0; si < n_cand; si++) {
+                int32_t nj = nei_sids[si];
                 const std::vector<V3>& s_n = strands[nj].pts;
                 if (s_n.size() < 2) continue;
-                double d2;
-                size_t pt_idx = nearest(s_n, strand[0], &d2);
-                double d5 = 0.0;
+                // one pass over s_n finds the nearest point to strand[0] and
+                // the 5 head-point distances (6 separate scans would walk the
+                // strand 6x through cache)
                 size_t n5 = std::min((size_t)5, strand.size());
-                for (size_t q = 0; q < n5; q++) {
-                    double dq;
-                    nearest(s_n, strand[q], &dq);
-                    d5 += std::sqrt(dq);
+                double best5[5] = {1e300, 1e300, 1e300, 1e300, 1e300};
+                double d2 = 1e300;
+                size_t pt_idx = 0;
+                for (size_t m = 0; m < s_n.size(); m++) {
+                    double dq0 = dist2(s_n[m], strand[0]);
+                    if (dq0 < d2) { d2 = dq0; pt_idx = m; }
+                    if (dq0 < best5[0]) best5[0] = dq0;
+                    for (size_t q = 1; q < n5; q++) {
+                        double dq = dist2(s_n[m], strand[q]);
+                        if (dq < best5[q]) best5[q] = dq;
+                    }
                 }
+                double d5 = 0.0;
+                for (size_t q = 0; q < n5; q++) d5 += std::sqrt(best5[q]);
                 if (d5 / n5 < 1.0) continue;  // already hugs a good strand
                 if (strand.size() > 60 && strand.size() + pt_idx > 150) continue;
                 if (pt_idx <= 1) continue;
