@@ -46,26 +46,30 @@ def hash_encode(table: jnp.ndarray, points01: jnp.ndarray,
     """(L, T, F) table, (N, 3) points in [0,1] -> (N, L*F) features.
 
     Spatial hash: xor of coordinate * prime, modulo table size — per level,
-    trilinear blend of the 8 hashed corners.
-    """
-    res = jnp.asarray(level_resolutions(cfg))                 # (L,)
+    trilinear blend of the 8 hashed corners. Levels run under lax.scan so
+    peak memory is one level's (N, 8, ·) intermediates, not (L, N, 8, 3) —
+    at render batches (N ~ 1e6) the flat layout's corner tensors alone were
+    >20 GB of HBM at compile time."""
+    res = level_resolutions(cfg).astype(np.float32)           # (L,)
     N = points01.shape[0]
-    p = points01[None, :, :] * res[:, None, None]             # (L, N, 3)
-    p0 = jnp.floor(p)
-    frac = p - p0
-    corners = p0[:, :, None, :] + jnp.asarray(_CORNERS, p0.dtype)   # (L, N, 8, 3)
-    ci = corners.astype(jnp.uint32)
-    h = (ci[..., 0] * _PRIMES[0]) ^ (ci[..., 1] * _PRIMES[1]) ^ (ci[..., 2] * _PRIMES[2])
-    idx = (h & jnp.uint32(2 ** cfg.log2_table_size - 1)).astype(jnp.int32)  # (L,N,8)
+    corners = jnp.asarray(_CORNERS)                           # (8, 3) {0,1}
+    mask = jnp.uint32(2 ** cfg.log2_table_size - 1)
 
-    feats = jnp.take_along_axis(table[:, :, None, :].reshape(cfg.num_levels, -1, cfg.features_per_level),
-                                idx.reshape(cfg.num_levels, -1)[..., None], 1)
-    feats = feats.reshape(cfg.num_levels, N, 8, cfg.features_per_level)
+    def level(_, inp):
+        tbl, r = inp                                          # (T, F), scalar
+        p = points01 * r                                      # (N, 3)
+        p0 = jnp.floor(p)
+        frac = p - p0
+        ci = (p0[:, None, :] + corners.astype(p0.dtype)).astype(jnp.uint32)
+        h = (ci[..., 0] * _PRIMES[0]) ^ (ci[..., 1] * _PRIMES[1]) \
+            ^ (ci[..., 2] * _PRIMES[2])
+        idx = (h & mask).astype(jnp.int32)                    # (N, 8)
+        feats = tbl[idx]                                      # (N, 8, F)
+        w = jnp.prod(jnp.where(corners[None].astype(bool), frac[:, None, :],
+                               1.0 - frac[:, None, :]), -1)   # (N, 8)
+        return None, jnp.sum(feats * w[..., None], 1)         # (N, F)
 
-    w = jnp.asarray(_CORNERS, frac.dtype)                     # (8, 3)
-    weights = jnp.prod(jnp.where(w[None, None], frac[:, :, None, :],
-                                 1.0 - frac[:, :, None, :]), -1)  # (L, N, 8)
-    out = jnp.sum(feats * weights[..., None], 2)              # (L, N, F)
+    _, out = jax.lax.scan(level, None, (table, jnp.asarray(res)))
     return jnp.transpose(out, (1, 0, 2)).reshape(N, cfg.num_levels * cfg.features_per_level)
 
 
