@@ -65,18 +65,19 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
                occ_warmup: int = 256, num_samples: int = 128,
-               num_fine: int = 64):
+               num_fine: int = 64, scan_block: int = 4):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
     the instant-ngp density-bitfield acceleration, TPU-shaped (ngp.py).
 
     The whole loop is device-resident: images sit in HBM as uint8, ray
-    sampling uses jax.random inside jit, and lax.scan runs
-    `occ_update_every` optimizer steps per device call (one occupancy-grid
-    EMA update at each block head). One host round trip per block instead of
-    per step — over the axon tunnel that is the difference between minutes
-    and hours at capture scale."""
+    sampling uses jax.random inside jit, and lax.scan runs `scan_block`
+    optimizer steps per device call. Dispatch is async (the host only syncs
+    at log points), so blocks pipeline over the axon tunnel; scan_block
+    stays small because the axon worker crashes executing step-scans of
+    length >= 8 at capture-scale ray batches (empirically: 4 ok, 8 faults,
+    single grad steps at the same size fine)."""
     field = field or NGPField()
     rng = jax.random.PRNGKey(seed)
     variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
@@ -93,14 +94,18 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     fx, fy, cx, cy = ds.fx, ds.fy, ds.cx, ds.cy
 
     def one_step(use_occ):
-        def loss_fn(variables, grid, o, d, target, sub):
+        # remat the whole render: backward re-runs it instead of holding the
+        # per-level hash-encode residuals (~GBs at 8192 rays x 128 samples)
+        @jax.checkpoint
+        def rendered(variables, grid, o, d, sub):
             if use_occ:
-                rgb, _, _ = render_rays_occ(field, variables, grid, o, d,
-                                            num_coarse=num_samples,
-                                            num_fine=num_fine, rng=sub)
-            else:
-                rgb, _, _ = render_rays(field, variables, o, d, num_samples,
-                                        sub)
+                return render_rays_occ(field, variables, grid, o, d,
+                                       num_coarse=num_samples,
+                                       num_fine=num_fine, rng=sub)[0]
+            return render_rays(field, variables, o, d, num_samples, sub)[0]
+
+        def loss_fn(variables, grid, o, d, target, sub):
+            rgb = rendered(variables, grid, o, d, sub)
             return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
 
         def body(carry, sub):
@@ -126,10 +131,10 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
 
         # images/c2w ride as jit args (closure-captured device arrays bake
         # into the HLO as constants — GBs at capture scale over axon)
-        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=7)
+        @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(7, 8))
         def block(variables, opt_state, grid, imgs, c2ws, rng, rng_grid,
-                  n_sub):
-            if use_occ:
+                  n_sub, do_update):
+            if do_update:
                 grid = update_occupancy_grid(field, variables, grid, rng_grid)
             (variables, opt_state, grid, _, _), losses = jax.lax.scan(
                 body, (variables, opt_state, grid, imgs, c2ws),
@@ -141,18 +146,22 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     block_uniform = one_step(False)
     block_occ = one_step(True)
 
-    losses, done, next_log = [], 0, 0
+    losses, done, next_log, last_update = [], 0, 0, None
     while done < steps:
         in_occ = use_occupancy and done >= occ_warmup
-        n_sub = min(occ_update_every, steps - done)
+        n_sub = min(scan_block, steps - done)
         if use_occupancy and not in_occ:
             # stop the warmup block exactly at the occ-phase boundary
             n_sub = min(n_sub, occ_warmup - done)
+        do_update = in_occ and (last_update is None
+                                or done - last_update >= occ_update_every)
+        if do_update:
+            last_update = done
         rng, r_blk, r_grid = jax.random.split(rng, 3)
         blk = block_occ if in_occ else block_uniform
         variables, opt_state, occ_grid, blk_losses = blk(
             variables, opt_state, occ_grid, imgs_u8, c2w_all, r_blk, r_grid,
-            n_sub)
+            n_sub, do_update)
         if done + n_sub > next_log:
             losses.append(float(blk_losses[-1]))
             next_log += log_every
