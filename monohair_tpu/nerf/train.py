@@ -65,7 +65,7 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
                occ_warmup: int = 256, num_samples: int = 128,
-               num_fine: int = 64, scan_block: int = 4):
+               num_fine: int = 64, scan_block: int = 4, verbose: bool = False):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -108,37 +108,42 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
             rgb = rendered(variables, grid, o, d, sub)
             return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
 
-        def body(carry, sub):
-            variables, opt_state, grid, imgs, c2ws = carry
-            k_f, k_p, k_r = jax.random.split(sub, 3)
-            fi = jax.random.randint(k_f, (rays_per_batch,), 0, F)
-            pi = jax.random.randint(k_p, (rays_per_batch,), 0, H * W)
-            target = imgs[fi, pi].astype(jnp.float32) / 255.0
-            rows = (pi // W).astype(jnp.float32)
-            cols = (pi % W).astype(jnp.float32)
-            c2w = c2ws[fi]
-            x = (cols + 0.5 - cx) / fx
-            y = -(rows + 0.5 - cy) / fy
-            dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
-            d = jnp.einsum("nij,nj->ni", c2w[:, :3, :3], dirs)
-            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
-            o = c2w[:, :3, 3]
+        def body(carry, xs):
+            variables, opt_state, grid = carry
+            o, d, target, k_r = xs
             loss, grads = jax.value_and_grad(loss_fn)(variables, grid, o, d,
                                                       target, k_r)
             updates, opt_state = tx.update(grads, opt_state, variables)
             variables = optax.apply_updates(variables, updates)
-            return (variables, opt_state, grid, imgs, c2ws), loss
+            return (variables, opt_state, grid), loss
 
         # images/c2w ride as jit args (closure-captured device arrays bake
-        # into the HLO as constants — GBs at capture scale over axon)
+        # into the HLO as constants — GBs at capture scale over axon). Ray
+        # batches for the whole block are gathered BEFORE the scan: the
+        # remote compiler hangs on capture-sized image gathers inside a scan
+        # body (the same gather at top level compiles in seconds), and the
+        # scan carry stays small.
         @partial(jax.jit, donate_argnums=(0, 1, 2), static_argnums=(7, 8))
         def block(variables, opt_state, grid, imgs, c2ws, rng, rng_grid,
                   n_sub, do_update):
             if do_update:
                 grid = update_occupancy_grid(field, variables, grid, rng_grid)
-            (variables, opt_state, grid, _, _), losses = jax.lax.scan(
-                body, (variables, opt_state, grid, imgs, c2ws),
-                jax.random.split(rng, n_sub))
+            k_f, k_p, k_r = jax.random.split(rng, 3)
+            fi = jax.random.randint(k_f, (n_sub, rays_per_batch), 0, F)
+            pi = jax.random.randint(k_p, (n_sub, rays_per_batch), 0, H * W)
+            target = imgs[fi, pi].astype(jnp.float32) / 255.0
+            rows = (pi // W).astype(jnp.float32)
+            cols = (pi % W).astype(jnp.float32)
+            c2w = c2ws[fi]                                  # (n_sub, B, 4, 4)
+            x = (cols + 0.5 - cx) / fx
+            y = -(rows + 0.5 - cy) / fy
+            dirs = jnp.stack([x, y, -jnp.ones_like(x)], -1)
+            d = jnp.einsum("snij,snj->sni", c2w[..., :3, :3], dirs)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            o = c2w[..., :3, 3]
+            (variables, opt_state, grid), losses = jax.lax.scan(
+                body, (variables, opt_state, grid),
+                (o, d, target, jax.random.split(k_r, n_sub)))
             return variables, opt_state, grid, losses
 
         return block
@@ -165,6 +170,13 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
         if done + n_sub > next_log:
             losses.append(float(blk_losses[-1]))
             next_log += log_every
+            if verbose:
+                print(f"[nerf] step {done + n_sub}/{steps} "
+                      f"loss {losses[-1]:.5f}", flush=True)
+        elif (done // n_sub) % 16 == 0:
+            # bound async runahead: unbounded in-flight blocks can wedge the
+            # axon worker between log-point syncs
+            jax.block_until_ready(blk_losses)
         done += n_sub
     return field, variables, losses, occ_grid if use_occupancy else None
 

@@ -67,12 +67,25 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--scan-block", type=int, default=1,
+                    help="steps per device call; >1 is faster but the axon "
+                         "worker has wedged on scanned blocks at capture "
+                         "scale — 1 is the safe default over the tunnel")
+    ap.add_argument("--full-grid", action="store_true",
+                    help="use the full 14-level/2^19 instant-ngp config; the "
+                         "default is the coarse-geometry config (12 levels, "
+                         "2^18 table, finest 512) — hash-table gathers are "
+                         "the step cost on TPU and the bust mesh is read at "
+                         "256^3, so the light grid loses nothing it needs")
     args = ap.parse_args()
 
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    from monohair_tpu.nerf.ngp import NGPField, density_grid
+    from monohair_tpu.nerf.ngp import HashGridConfig, NGPField, density_grid
     from monohair_tpu.nerf.train import NerfDataset, psnr, render_image, train_nerf
+
+    field = NGPField() if args.full_grid else NGPField(cfg=HashGridConfig(
+        num_levels=12, log2_table_size=18, finest_resolution=512))
 
     H, W = args.height, args.width
     f = 0.5 * W  # ~53 deg hfov
@@ -83,8 +96,9 @@ def main():
 
     t0 = time.time()
     field, variables, losses, occ_grid = train_nerf(
-        train_ds, steps=args.steps, rays_per_batch=args.rays,
-        use_occupancy=True, occ_resolution=128, log_every=max(args.steps // 8, 1))
+        train_ds, steps=args.steps, rays_per_batch=args.rays, field=field,
+        use_occupancy=True, occ_resolution=128, scan_block=args.scan_block,
+        log_every=max(args.steps // 32, 1), verbose=True)
     t_train = time.time() - t0
     print(f"trained {args.steps} steps in {t_train:.0f}s, losses {losses}",
           flush=True)
