@@ -74,3 +74,35 @@ def test_dog_removes_dc():
     img = jnp.full((64, 64), 0.7, jnp.float32)
     out = difference_of_gaussians(img)
     assert float(jnp.max(jnp.abs(out))) < 1e-4
+
+
+def test_banded_matmul_matches_naive_conv():
+    """The im2col/matmul formulation (gabor.py) is numerically identical to a
+    direct zero-padded cross-correlation with the bank — exactness guard for
+    the banded restructure (patch ordering, band halos, edge bands)."""
+    rng = np.random.default_rng(3)
+    img = rng.random((37, 29)).astype(np.float32)
+    O, k = 12, 9
+    bank = gabor_bank(k, O)[:, 0]
+    H, W = img.shape
+    pad = np.pad(img, k // 2)
+    resp = np.zeros((O, H, W))
+    for o in range(O):
+        for i in range(H):
+            for j in range(W):
+                resp[o, i, j] = np.sum(pad[i:i + k, j:j + k] * bank[o])
+    resp = np.abs(resp)
+    best = resp.argmax(0) * math.pi / O
+    ors = np.arange(O) * math.pi / O
+    diff = np.abs(best[None] - ors[:, None, None])
+    diff = np.minimum(diff, math.pi - diff)
+    rd = resp - resp.max(0)[None]
+    var = np.sqrt((diff * rd * rd).sum(0))
+    var = var / var.max()
+    conf = np.clip(var / 0.2, 0, 1)
+
+    # band=16 forces multiple bands including a ragged final band
+    ang_j, conf_j = gabor_orientation(jnp.asarray(img), num_orientations=O,
+                                      kernel_size=k, band=16)
+    np.testing.assert_allclose(np.asarray(ang_j), best, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(conf_j), conf, atol=1e-4)

@@ -67,6 +67,9 @@ def main():
     ap.add_argument("--height", type=int, default=720)
     ap.add_argument("--width", type=int, default=1280)
     ap.add_argument("--rays", type=int, default=8192)
+    ap.add_argument("--warmup", type=int, default=128,
+                    help="uniform-sampling steps before the occupancy grid "
+                         "kicks in (the expensive phase: 128 samples/ray)")
     ap.add_argument("--scan-block", type=int, default=1,
                     help="steps per device call; >1 is faster but the axon "
                          "worker has wedged on scanned blocks at capture "
@@ -98,7 +101,8 @@ def main():
     field, variables, losses, occ_grid = train_nerf(
         train_ds, steps=args.steps, rays_per_batch=args.rays, field=field,
         use_occupancy=True, occ_resolution=128, scan_block=args.scan_block,
-        log_every=max(args.steps // 32, 1), verbose=True)
+        occ_warmup=args.warmup, log_every=max(args.steps // 32, 1),
+        verbose=True)
     t_train = time.time() - t0
     print(f"trained {args.steps} steps in {t_train:.0f}s, losses {losses}",
           flush=True)
