@@ -43,34 +43,49 @@ def level_resolutions(cfg: HashGridConfig) -> np.ndarray:
 
 def hash_encode(table: jnp.ndarray, points01: jnp.ndarray,
                 cfg: HashGridConfig) -> jnp.ndarray:
-    """(L, T, F) table, (N, 3) points in [0,1] -> (N, L*F) features.
+    """(L, F, T) feature-major table, (N, 3) points in [0,1] -> (N, L*F).
 
     Spatial hash: xor of coordinate * prime, modulo table size — per level,
-    trilinear blend of the 8 hashed corners. Levels run under lax.scan so
-    peak memory is one level's (N, 8, ·) intermediates, not (L, N, 8, 3) —
-    at render batches (N ~ 1e6) the flat layout's corner tensors alone were
-    >20 GB of HBM at compile time."""
+    trilinear blend of the 8 hashed corners.
+
+    Layout rules (measured on the axon v5e backend):
+    - levels run under lax.scan so peak memory is one level's intermediates;
+    - every large tensor keeps its BIG axis minor. TPU tiles pad the last
+      two dims to (8, 128): a (N, 2) feature temp expands 64x (an OOM report
+      showed f32[16.7M, 2] costing 8 GB), (N, 8) corner temps 16x, and a
+      (T, 2)-stored table makes every optimizer pass 64x more HBM traffic
+      (measured: adam on the (L, T, 2) table added 2 s/step). Hence the
+      table is stored (L, F, T), corners are a static python loop producing
+      (N,)/(F, N) arrays, and gathers read along the minor T axis."""
     res = level_resolutions(cfg).astype(np.float32)           # (L,)
-    N = points01.shape[0]
-    corners = jnp.asarray(_CORNERS)                           # (8, 3) {0,1}
     mask = jnp.uint32(2 ** cfg.log2_table_size - 1)
+    x, y, z = points01[:, 0], points01[:, 1], points01[:, 2]
 
     def level(_, inp):
-        tbl, r = inp                                          # (T, F), scalar
-        p = points01 * r                                      # (N, 3)
-        p0 = jnp.floor(p)
-        frac = p - p0
-        ci = (p0[:, None, :] + corners.astype(p0.dtype)).astype(jnp.uint32)
-        h = (ci[..., 0] * _PRIMES[0]) ^ (ci[..., 1] * _PRIMES[1]) \
-            ^ (ci[..., 2] * _PRIMES[2])
-        idx = (h & mask).astype(jnp.int32)                    # (N, 8)
-        feats = tbl[idx]                                      # (N, 8, F)
-        w = jnp.prod(jnp.where(corners[None].astype(bool), frac[:, None, :],
-                               1.0 - frac[:, None, :]), -1)   # (N, 8)
-        return None, jnp.sum(feats * w[..., None], 1)         # (N, F)
+        tbl_t, r = inp                                        # (F, T), scalar
+        px, py, pz = x * r, y * r, z * r
+        ix = jnp.floor(px)
+        iy = jnp.floor(py)
+        iz = jnp.floor(pz)
+        wx, wy, wz = px - ix, py - iy, pz - iz
+        ix = ix.astype(jnp.uint32)
+        iy = iy.astype(jnp.uint32)
+        iz = iz.astype(jnp.uint32)
+        out = jnp.zeros((cfg.features_per_level, x.shape[0]), x.dtype)
+        for cx in (0, 1):
+            for cy in (0, 1):
+                for cz in (0, 1):
+                    h = (((ix + cx) * _PRIMES[0]) ^ ((iy + cy) * _PRIMES[1])
+                         ^ ((iz + cz) * _PRIMES[2]))
+                    idx = (h & mask).astype(jnp.int32)        # (N,)
+                    w = ((wx if cx else 1.0 - wx)
+                         * (wy if cy else 1.0 - wy)
+                         * (wz if cz else 1.0 - wz))          # (N,)
+                    out = out + tbl_t[:, idx] * w[None]       # (F, N)
+        return None, out
 
-    _, out = jax.lax.scan(level, None, (table, jnp.asarray(res)))
-    return jnp.transpose(out, (1, 0, 2)).reshape(N, cfg.num_levels * cfg.features_per_level)
+    _, out = jax.lax.scan(level, None, (table, jnp.asarray(res)))  # (L, F, N)
+    return out.reshape(cfg.num_levels * cfg.features_per_level, -1).T
 
 
 def sh_encoding_deg4(dirs: jnp.ndarray) -> jnp.ndarray:
@@ -103,10 +118,12 @@ class NGPField(nn.Module):
     geo_feat: int = 15
 
     def setup(self):
+        # feature-major (L, F, T): minor dim = table axis, so the param, its
+        # grad and the adam moments tile without padding (see hash_encode)
         self.hash_table = self.param(
             "hash_table", nn.initializers.uniform(2e-4),
-            (self.cfg.num_levels, 2 ** self.cfg.log2_table_size,
-             self.cfg.features_per_level))
+            (self.cfg.num_levels, self.cfg.features_per_level,
+             2 ** self.cfg.log2_table_size))
         self.sigma1 = nn.Dense(self.hidden)
         self.sigma2 = nn.Dense(1 + self.geo_feat)
         self.rgb1 = nn.Dense(self.hidden)

@@ -87,9 +87,11 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     occ_grid = init_occupancy_grid(occ_resolution if use_occupancy else 1)
 
     F, H, W = ds.images.shape[:3]
-    imgs_u8 = jnp.asarray(
+    # channel-FIRST on device: a (F, H*W, 3) u8 buffer tile-pads its minor
+    # dim 3 -> 128 (42x HBM blowup); (3, F, H*W) keeps the pixel axis minor
+    imgs_u8 = jnp.asarray(np.ascontiguousarray(
         np.clip(np.rint(ds.images.reshape(F, H * W, 3) * 255.0), 0, 255)
-        .astype(np.uint8))
+        .astype(np.uint8).transpose(2, 0, 1)))
     c2w_all = jnp.asarray(ds.c2w)
     fx, fy, cx, cy = ds.fx, ds.fy, ds.cx, ds.cy
 
@@ -131,7 +133,7 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
             k_f, k_p, k_r = jax.random.split(rng, 3)
             fi = jax.random.randint(k_f, (n_sub, rays_per_batch), 0, F)
             pi = jax.random.randint(k_p, (n_sub, rays_per_batch), 0, H * W)
-            target = imgs[fi, pi].astype(jnp.float32) / 255.0
+            target = jnp.moveaxis(imgs[:, fi, pi], 0, -1).astype(jnp.float32) / 255.0
             rows = (pi // W).astype(jnp.float32)
             cols = (pi % W).astype(jnp.float32)
             c2w = c2ws[fi]                                  # (n_sub, B, 4, 4)

@@ -16,7 +16,7 @@ TINY = HashGridConfig(num_levels=4, features_per_level=2, log2_table_size=12,
 
 
 def test_hash_encode_shapes_and_continuity(rng):
-    table = jnp.asarray(rng.normal(size=(4, 2 ** 12, 2)).astype(np.float32) * 0.1)
+    table = jnp.asarray(rng.normal(size=(4, 2, 2 ** 12)).astype(np.float32) * 0.1)
     p = jnp.asarray(rng.random((16, 3)).astype(np.float32))
     f = hash_encode(table, p, TINY)
     assert f.shape == (16, 8)
