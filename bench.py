@@ -99,9 +99,11 @@ def bench_stage2_pmvo(rng, total_points=2_100_000, chunk=32768):
     return n_chunks * t_fwd + n_chunks * t_ref, pts_per_sec
 
 
-def bench_stage3_mvs(rng, total_queries=2_000_000, batch=8192):
+def bench_stage3_mvs(rng, total_queries=2_000_000, batch=32768):
     """Production-scale stage 3 on chip: 16 views x 1280x720 pyramids + both
-    heads at the reference's 8192-pt batch (vit_standard.txt:40)."""
+    heads. The reference batches 8192 queries (vit_standard.txt:40, a GPU
+    VRAM choice); on TPU 32768 measures ~24% higher throughput
+    (tools/tune_mvs_batch.py; 65536 OOMs in the ViT attention)."""
     import jax
     import jax.numpy as jnp
     from monohair_tpu.models.pifu import OccAttn, OriAttn
