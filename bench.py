@@ -14,9 +14,9 @@ Every stage's hot path runs ON THE CHIP at big_wavy1-scale workloads
   stage3  MVS eval at production scale (VERDICT item 5): 16-view 1280x720
           feature pyramids once, then 8192-point batches through both heads
           (mvs_eval.py:124-196); 2.0M colmap-guided queries
-  stage4  strand growth: batched TPU trace over a 256^3-scale field + the
-          host connect phase measured at 20k strands and scaled to 100k by
-          the measured-linear rate (tests/test_connect.py pins 50k < 120 s)
+  stage4  strand growth: batched TPU trace over a 128x128x96 field + the
+          full 100k-strand count straight through the native connect.cpp
+          kernel (tests/test_connect.py pins 50k < 120 s)
 
 vs_baseline = 600 s (north star) / measured e2e seconds — > 1 beats it.
 """

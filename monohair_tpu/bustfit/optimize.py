@@ -249,8 +249,10 @@ def fit_losses(model: SMPLXModel, params: FitParams, cameras: Cameras,
     sj = [j for j in SHOULDER_JOINTS if j < model.num_joints]
     if sj and weights.get("reg_shoulder", 0.0) > 0:
         pose_eff = effective_pose(params, init_pose, joint_mask)
-        losses["reg_shoulder"] = weights["reg_shoulder"] * jnp.abs(
-            jnp.mean(pose_eff[np.array(sj)] - init_pose[np.array(sj)]))
+        # mean-of-abs so opposite-sign axis deltas cannot cancel before the
+        # x1000 weight lands (each shoulder axis is anchored independently)
+        losses["reg_shoulder"] = weights["reg_shoulder"] * jnp.mean(
+            jnp.abs(pose_eff[np.array(sj)] - init_pose[np.array(sj)]))
     return losses
 
 

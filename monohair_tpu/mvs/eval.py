@@ -21,6 +21,7 @@ import numpy as np
 
 from ..constants import VOXEL_MAX, VOXEL_MIN, VSIZE_COARSE
 from ..io.mat_io import save_ori_mat_from_points
+from ..io.voxels_io import save_voxels_dat
 from ..models.pifu import OccAttn, OriAttn, check_pts_in_views, mvs_projection
 from ..parallel.sharding import shard_batch
 
@@ -95,7 +96,19 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
     # the axon remote-compile payload limit).
     step = jax.jit(lambda ov, orv, of, orf, w, nd, pts: eval_points(
         occ_model, ov, ori_model, orv, of, orf, w, nd, pts))
+    # Double-buffered stream: dispatch batch k+1 BEFORE reading batch k back.
+    # JAX dispatch is async, but a bare np.asarray(p) right after the step
+    # call blocks the host on that batch's result — over the axon tunnel that
+    # serializes dispatch/readback round-trips. Keeping one batch in flight
+    # overlaps device compute + transfer with host-side readback
+    # (tools/tune_mvs_batch.py measures the delta).
     pos_list, ori_list = [], []
+    pending = None                       # (positive, ori) still in flight
+
+    def drain(p, o, valid):
+        pos_list.append(np.asarray(p)[:valid])
+        ori_list.append(np.asarray(o)[:valid])
+
     for beg in range(0, n, batch):
         sub = query_points[beg:beg + batch]
         valid = sub.shape[0]
@@ -103,8 +116,11 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
             sub = np.concatenate([sub, np.repeat(sub[-1:], batch - valid, 0)], 0)
         p, o, _ = step(occ_vars, ori_vars, occ_feats, ori_feats, inputs.w2c,
                        inputs.ndc, shard_batch(jnp.asarray(sub), mesh))
-        pos_list.append(np.asarray(p)[:valid])
-        ori_list.append(np.asarray(o)[:valid])
+        if pending is not None:
+            drain(*pending)
+        pending = (p, o, valid)
+    if pending is not None:
+        drain(*pending)
     occ = np.concatenate(pos_list)
     orients = np.concatenate(ori_list)
     orients /= np.maximum(np.linalg.norm(orients, axis=-1, keepdims=True), 1e-12)
@@ -120,11 +136,9 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
         grid_resolution = np.array([(bbox_max[0] - bbox_min[0]) / vsize,
                                     (bbox_max[1] - bbox_min[1]) / vsize,
                                     (bbox_max[2] - bbox_min[2]) / vsize], np.float32)
-        header = np.concatenate([grid_resolution, np.asarray(bbox_min, np.float32),
-                                 [np.float32(vsize)], [np.float32(len(save_points))]])
-        data = np.concatenate([save_points, save_oris], 1).reshape(-1).astype(np.float32)
-        np.concatenate([header, data]).astype(np.float32).tofile(
-            os.path.join(save_folder, "voxels.dat"))
+        save_voxels_dat(os.path.join(save_folder, "voxels.dat"),
+                        save_points, save_oris, grid_resolution,
+                        bbox_min, vsize)
 
         mat_root = os.path.join(save_folder, "Voxel_hair")
         save_ori_mat_from_points(save_points, save_oris.copy(),

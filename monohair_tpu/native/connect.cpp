@@ -76,9 +76,12 @@ static void occupancy_stats(const OccGrids& g, const std::vector<V3>& s,
     double occ_sum = 0.0, sim_sum = 0.0;
     bool ok = true;
     for (size_t i = 0; i < plen; i++) {
-        int64_t ix = (int64_t)std::llround(s[i].x);
-        int64_t iy = (int64_t)std::llround(s[i].y);
-        int64_t iz = (int64_t)std::llround(s[i].z);
+        // np.round is half-to-even; nearbyint under the default FE_TONEAREST
+        // matches it (llround is half-away-from-zero and diverges on exact .5
+        // coordinates, which integer-grid strands do produce).
+        int64_t ix = (int64_t)std::nearbyint(s[i].x);
+        int64_t iy = (int64_t)std::nearbyint(s[i].y);
+        int64_t iz = (int64_t)std::nearbyint(s[i].z);
         if (ix < 0 || iy < 0 || iz < 0 || ix >= g.r0 || iy >= g.r1 || iz >= g.r2) {
             ok = false;
             ix = std::min(std::max(ix, (int64_t)0), g.r0 - 1);
@@ -212,7 +215,9 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
 
         for (int64_t i : pending) {
             std::vector<V3>& strand = strands[i].pts;
-            if (strand.size() < 2) { out_root_flag[i] = 1; continue; }
+            // <2-point strands stay pending forever and are dropped from the
+            // output, matching the Python path (which never attaches them).
+            if (strand.size() < 2) continue;
             const V3 root = strand[0];
 
             nei_sids.clear();

@@ -1,0 +1,144 @@
+"""Dense multiscale feature-grid field — the TPU-first coarse-geometry NeRF.
+
+Why this exists: instant-ngp's multiresolution *hash* encoding is designed for
+GPUs, where random 8-byte table loads are cheap and FLOPs are the budget. On
+TPU the tradeoff inverts — XLA gathers/scatters run at a fixed ~120M rows/s
+regardless of row width (measured, see CLAUDE.md), so the hash encode's
+14 levels x 8 corners = 112 gather rows per sample point dominate the train
+step (~2.4 s at 8192 rays x 64 samples). The fix is architectural, not a
+kernel: a *dense* grid admits a layout where all 8 trilinear corners of a cell
+are fetched by ONE gather offset.
+
+Layout trick: store each level as (R, R, R*F) with the feature axis packed
+into z ("z-packed"). The 2x2x2xF corner block of cell (ix,iy,iz) is then the
+contiguous-in-z slice starting at (ix, iy, iz*F) with sizes (2, 2, 2F) — one
+`lax.gather` start index per point per level. Three levels cost 3 offsets per
+point instead of 112: the encode leaves the gather-latency regime entirely.
+The backward pass is the transposed scatter-add with the same single-offset
+structure. The z-packed minor dim (R*F >= 128 for R >= 32, F = 4) also keeps
+TPU tile padding at zero, and the gather output is laid out (2, 2, 2F, N) —
+big axis minor — so no 64x tile blowups (CLAUDE.md layout rules).
+
+Convergence: dense voxel grids with small MLP heads converge as fast as hash
+grids at coarse-geometry scales (the DVGO/Plenoxels result); the pipeline
+reads the field through a 256^3 marching-cubes export (run.py:272-276), which
+a 256-resolution finest level matches exactly.
+
+Replaces: instant-ngp testbed (reference run.py:24-26,91,184-206) — same role
+as ngp.NGPField (which remains available as `field=ngp` for parity study).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ngp import sh_encoding_deg4
+
+
+class DenseGridConfig(NamedTuple):
+    resolutions: Tuple[int, ...] = (64, 160, 256)
+    features_per_level: int = 4
+
+
+def grid_encode_level(grid_zf: jnp.ndarray, points01: jnp.ndarray,
+                      features: int) -> jnp.ndarray:
+    """One level: (R0, R1, R2*F) z-packed grid, (N, 3) points in [0,1] ->
+    (F, N) trilinear features. One gather offset per point (see module doc)."""
+    F = features
+    R = (grid_zf.shape[0], grid_zf.shape[1], grid_zf.shape[2] // F)
+    p = points01.astype(jnp.float32)
+    x = p[:, 0] * (R[0] - 1)
+    y = p[:, 1] * (R[1] - 1)
+    z = p[:, 2] * (R[2] - 1)
+    ix = jnp.clip(jnp.floor(x), 0, R[0] - 2).astype(jnp.int32)
+    iy = jnp.clip(jnp.floor(y), 0, R[1] - 2).astype(jnp.int32)
+    iz = jnp.clip(jnp.floor(z), 0, R[2] - 2).astype(jnp.int32)
+    wx = (x - ix).astype(grid_zf.dtype)
+    wy = (y - iy).astype(grid_zf.dtype)
+    wz = (z - iz).astype(grid_zf.dtype)
+
+    starts = jnp.stack([ix, iy, iz * F], -1)                   # (N, 3)
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(0, 1, 2), collapsed_slice_dims=(),
+        start_index_map=(0, 1, 2))
+    # (2, 2, 2F, N): all 8 corners of every point in one gather offset each
+    corners = jax.lax.gather(
+        grid_zf, starts, dn, slice_sizes=(2, 2, 2 * F),
+        mode=jax.lax.GatherScatterMode.CLIP)
+    corners = corners.reshape(2, 2, 2, F, corners.shape[-1])   # (2,2,2,F,N)
+
+    out = jnp.zeros((F, points01.shape[0]), grid_zf.dtype)
+    for cx in (0, 1):
+        for cy in (0, 1):
+            for cz in (0, 1):
+                w = ((wx if cx else 1.0 - wx) * (wy if cy else 1.0 - wy)
+                     * (wz if cz else 1.0 - wz))               # (N,)
+                out = out + corners[cx, cy, cz] * w[None]
+    return out
+
+
+def grid_encode(grids, points01: jnp.ndarray, cfg: DenseGridConfig
+                ) -> jnp.ndarray:
+    """All levels -> (N, L*F) features (same output convention as
+    ngp.hash_encode; levels looped in Python — shapes differ per level)."""
+    feats = [grid_encode_level(g, points01, cfg.features_per_level)
+             for g in grids]
+    return jnp.concatenate(feats, 0).T                         # (N, L*F)
+
+
+def grid_tv_loss(grids) -> jnp.ndarray:
+    """Mean squared finite-difference (total-variation) regularizer over every
+    level — the Plenoxels/DVGO smoothness prior that keeps unobserved voxels
+    from free-floating. Elementwise over the grids: VPU-cheap."""
+    total = 0.0
+    for g in grids:
+        for ax in range(3):
+            d = jnp.diff(g, axis=ax)
+            total = total + jnp.mean(d * d)
+    return total / (3 * len(grids))
+
+
+class DenseGridField(nn.Module):
+    """Drop-in NGPField replacement: same density/__call__ API, dense grids.
+
+    The MLP heads mirror NGPField (sigma 2-layer -> 1+geo_feat, color 3-layer
+    on SH(dir) ++ geo_feat) so train/render/export paths are shared.
+    """
+    cfg: DenseGridConfig = DenseGridConfig()
+    hidden: int = 64
+    geo_feat: int = 15
+
+    def setup(self):
+        F = self.cfg.features_per_level
+        self.grids = [
+            self.param(f"grid{i}", nn.initializers.uniform(2e-4), (r, r, r * F))
+            for i, r in enumerate(self.cfg.resolutions)]
+        self.sigma1 = nn.Dense(self.hidden)
+        self.sigma2 = nn.Dense(1 + self.geo_feat)
+        self.rgb1 = nn.Dense(self.hidden)
+        self.rgb2 = nn.Dense(self.hidden)
+        self.rgb3 = nn.Dense(3)
+
+    def density(self, points01: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        enc = grid_encode(self.grids, points01, self.cfg)
+        h = self.sigma2(nn.relu(self.sigma1(enc)))
+        sigma = jnp.exp(jnp.clip(h[:, 0], -15.0, 12.0))
+        return sigma, h[:, 1:]
+
+    def tv(self) -> jnp.ndarray:
+        return grid_tv_loss(self.grids)
+
+    def __call__(self, points01: jnp.ndarray, dirs: jnp.ndarray
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        sigma, feat = self.density(points01)
+        d = sh_encoding_deg4(dirs)
+        h = jnp.concatenate([d, feat], -1)
+        h = nn.relu(self.rgb1(h))
+        h = nn.relu(self.rgb2(h))
+        rgb = nn.sigmoid(self.rgb3(h))
+        return sigma, rgb

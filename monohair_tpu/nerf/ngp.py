@@ -59,6 +59,7 @@ def hash_encode(table: jnp.ndarray, points01: jnp.ndarray,
       (N,)/(F, N) arrays, and gathers read along the minor T axis."""
     res = level_resolutions(cfg).astype(np.float32)           # (L,)
     mask = jnp.uint32(2 ** cfg.log2_table_size - 1)
+    points01 = points01.astype(jnp.float32)  # fixed accumulator dtype
     x, y, z = points01[:, 0], points01[:, 1], points01[:, 2]
 
     def level(_, inp):

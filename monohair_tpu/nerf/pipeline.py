@@ -52,8 +52,17 @@ def run_ngp_stage(args: Config) -> None:
     ds = load_nerf_dataset(os.path.join(colmap_dir, "transforms.json"),
                            os.path.join(colmap_dir, "images"))
     steps = int(args.get("ngp", {}).get("train_steps", 4000))
+    field_kind = str(args.get("ngp", {}).get("field", "dense"))
+    tv_weight = float(args.get("ngp", {}).get("tv_weight", 1e-4))
+    if field_kind == "dense":
+        # TPU-first default: one gather offset per point per level instead of
+        # the hash encode's 112 latency-bound rows (dense_grid.py module doc)
+        from .dense_grid import DenseGridField
+        field = DenseGridField()
+    else:
+        field, tv_weight = None, 0.0  # NGPField default (parity-study path)
     field, variables, losses, occ_grid = train_nerf(
-        ds, steps=steps,
+        ds, steps=steps, field=field, tv_weight=tv_weight,
         use_occupancy=bool(args.get("ngp", {}).get("use_occupancy", True)),
         occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)))
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")

@@ -65,7 +65,8 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
                occ_warmup: int = 256, num_samples: int = 128,
-               num_fine: int = 64, scan_block: int = 4, verbose: bool = False):
+               num_fine: int = 64, scan_block: int = 4, verbose: bool = False,
+               tv_weight: float = 0.0):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -108,7 +109,12 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
 
         def loss_fn(variables, grid, o, d, target, sub):
             rgb = rendered(variables, grid, o, d, sub)
-            return jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
+            loss = jnp.mean(optax.huber_loss(rgb, target, delta=0.1))
+            if tv_weight > 0.0 and hasattr(field, "tv"):
+                # dense-grid smoothness prior (dense_grid.grid_tv_loss)
+                loss = loss + tv_weight * field.apply(variables,
+                                                      method=field.tv)
+            return loss
 
         def body(carry, xs):
             variables, opt_state, grid = carry

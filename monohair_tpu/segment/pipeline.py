@@ -44,6 +44,29 @@ def _fallback_hair_mask(img: np.ndarray) -> np.ndarray:
     return m
 
 
+def _fallback_person_mask(img: np.ndarray, hair: np.ndarray) -> np.ndarray:
+    """Coarse person matte (distinct from the hair mask — mask/ feeds PMVO's
+    point filtering as the *person* silhouette, calc_masks.py:144-155):
+    foreground = pixels far from the border background color, largest blob,
+    holes filled, forced to contain the hair mask."""
+    border = np.concatenate([img[0], img[-1], img[:, 0], img[:, -1]], 0)
+    bg = np.median(border.reshape(-1, 3), axis=0)
+    dist = np.linalg.norm(img.astype(np.float32) - bg[None, None], axis=-1)
+    m = (dist > 45.0).astype(np.uint8) * 255
+    m = cv2.morphologyEx(m, cv2.MORPH_CLOSE, np.ones((15, 15), np.uint8))
+    num, labels, stats, _ = cv2.connectedComponentsWithStats(m)
+    if num > 1:
+        largest = 1 + int(np.argmax(stats[1:, cv2.CC_STAT_AREA]))
+        m = np.where(labels == largest, 255, 0).astype(np.uint8)
+    # fill interior holes: anything not reachable from the border is person
+    inv = (m == 0).astype(np.uint8)
+    ff = inv.copy()
+    ffmask = np.zeros((img.shape[0] + 2, img.shape[1] + 2), np.uint8)
+    cv2.floodFill(ff, ffmask, (0, 0), 0)
+    m = np.where((m > 0) | (ff > 0), 255, 0).astype(np.uint8)
+    return np.maximum(m, hair)
+
+
 def _neural_masks(files: List[str], img_dir: str, cfg: Config):
     """MODNet matte + BiSeNet hair parse, reference ensemble protocol."""
     from .runners import MattingRunner, ParsingRunner
@@ -98,7 +121,7 @@ def calculate_masks(args: Config) -> List[str]:
         img = cv2.imread(os.path.join(img_dir, f))
         hair = _fallback_hair_mask(img)
         cv2.imwrite(os.path.join(hair_dir, f), hair)
-        cv2.imwrite(os.path.join(mask_dir, f), hair)
+        cv2.imwrite(os.path.join(mask_dir, f), _fallback_person_mask(img, hair))
         blend = img.copy()
         blend[hair > 0] = 0.5 * blend[hair > 0] + np.array([0, 0, 127.5])
         cv2.imwrite(os.path.join(blend_dir, f), blend)

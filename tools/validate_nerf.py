@@ -74,6 +74,10 @@ def main():
                     help="steps per device call; >1 is faster but the axon "
                          "worker has wedged on scanned blocks at capture "
                          "scale — 1 is the safe default over the tunnel")
+    ap.add_argument("--field", choices=["hash", "dense"], default="hash",
+                    help="dense = z-packed dense multiscale grid "
+                         "(nerf/dense_grid.py): one gather offset per point "
+                         "per level instead of the hash encode's 112 rows")
     ap.add_argument("--full-grid", action="store_true",
                     help="use the full 14-level/2^19 instant-ngp config; the "
                          "default is the coarse-geometry config (12 levels, "
@@ -87,8 +91,15 @@ def main():
     from monohair_tpu.nerf.ngp import HashGridConfig, NGPField, density_grid
     from monohair_tpu.nerf.train import NerfDataset, psnr, render_image, train_nerf
 
-    field = NGPField() if args.full_grid else NGPField(cfg=HashGridConfig(
-        num_levels=12, log2_table_size=18, finest_resolution=512))
+    tv_weight = 0.0
+    if args.field == "dense":
+        from monohair_tpu.nerf.dense_grid import DenseGridField
+        field, tv_weight = DenseGridField(), 1e-4
+    elif args.full_grid:
+        field = NGPField()
+    else:
+        field = NGPField(cfg=HashGridConfig(
+            num_levels=12, log2_table_size=18, finest_resolution=512))
 
     H, W = args.height, args.width
     f = 0.5 * W  # ~53 deg hfov
@@ -102,7 +113,7 @@ def main():
         train_ds, steps=args.steps, rays_per_batch=args.rays, field=field,
         use_occupancy=True, occ_resolution=128, scan_block=args.scan_block,
         occ_warmup=args.warmup, log_every=max(args.steps // 32, 1),
-        verbose=True)
+        verbose=True, tv_weight=tv_weight)
     t_train = time.time() - t0
     print(f"trained {args.steps} steps in {t_train:.0f}s, losses {losses}",
           flush=True)
