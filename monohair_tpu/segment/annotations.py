@@ -70,6 +70,44 @@ def _read_rgb(path: str) -> np.ndarray:
     return cv2.cvtColor(cv2.imread(path), cv2.COLOR_BGR2RGB)
 
 
+def refine_pupil(gray: np.ndarray, ring: np.ndarray,
+                 power: float = 4.0) -> np.ndarray:
+    """Pupil center inside one eye-ring polygon.
+
+    The reference runs fdlite iris detection (dataprocess.py:376-450); here the
+    pupil is recovered photometrically: inside the eyelid-ring polygon the
+    pupil is the dark blob, so its center is the darkness-weighted centroid
+    ((1 - luminance)^power emphasizes the pupil over sclera/skin). Falls back
+    to the ring centroid when the polygon is degenerate or uniformly bright.
+
+    gray: (H, W) float or uint8 luminance image. ring: (K, 2) [x, y] eyelid
+    landmarks (FAN points 36-41 / 42-47). Returns (2,) [x, y] pixels."""
+    import cv2
+    centroid = ring.mean(0)
+    x0 = int(np.floor(ring[:, 0].min())) - 2
+    x1 = int(np.ceil(ring[:, 0].max())) + 3
+    y0 = int(np.floor(ring[:, 1].min())) - 2
+    y1 = int(np.ceil(ring[:, 1].max())) + 3
+    H, W = gray.shape[:2]
+    x0, y0 = max(x0, 0), max(y0, 0)
+    x1, y1 = min(x1, W), min(y1, H)
+    if x1 - x0 < 3 or y1 - y0 < 3:
+        return centroid.astype(np.float32)
+    crop = gray[y0:y1, x0:x1].astype(np.float32)
+    if crop.max() > 1.5:                     # uint8-range input
+        crop = crop / 255.0
+    poly = np.round(ring - [x0, y0]).astype(np.int32)
+    mask = np.zeros(crop.shape, np.uint8)
+    cv2.fillPoly(mask, [poly], 1)
+    w = mask * np.clip(1.0 - crop, 0.0, 1.0) ** power
+    total = w.sum()
+    if total < 1e-6:
+        return centroid.astype(np.float32)
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    return np.array([(w * xs).sum() / total,
+                     (w * ys).sum() / total], np.float32)
+
+
 def _stem(path: str) -> str:
     return os.path.splitext(os.path.basename(path))[0]
 
@@ -124,17 +162,20 @@ def default_backends(cfg: dict) -> Dict[str, Callable]:
         backends["landmark2d"] = landmark2d
 
         def iris(paths, out_dir):
-            """Iris centers from the eye-ring landmarks: rows (right, left)
-            matching the reference's iris_rois[::-1] ordering
-            (dataprocess.py:421-436)."""
+            """Iris centers: rows (right, left) matching the reference's
+            iris_rois[::-1] ordering (dataprocess.py:421-436). Pupil position
+            is refined photometrically inside each FAN eye-ring polygon
+            (refine_pupil) — the eyelid centroid alone is NOT the pupil when
+            the gaze is off-center."""
             lmk_dir = os.path.join(os.path.dirname(out_dir), "landmark2d")
             for p in paths:
                 lp = os.path.join(lmk_dir, _stem(p) + ".txt")
                 out = np.zeros((2, 3), np.float32)
                 if os.path.exists(lp):
                     k = np.loadtxt(lp)
-                    out[0, :2] = k[36:42].mean(0)   # right eye (image left)
-                    out[1, :2] = k[42:48].mean(0)   # left eye
+                    gray = _read_rgb(p).astype(np.float32).mean(-1)
+                    out[0, :2] = refine_pupil(gray, k[36:42])  # right eye
+                    out[1, :2] = refine_pupil(gray, k[42:48])  # left eye
                     out[:, 2] = 1.0
                 np.savetxt(os.path.join(out_dir, _stem(p) + ".txt"), out)
         backends["iris"] = iris

@@ -140,3 +140,38 @@ def test_fallback_mask_covers_wig(tmp_path):
     # the dark textured cap sits in the upper half; fallback must catch most
     upper = m[:56] > 0
     assert upper.sum() > 150, f"fallback found only {upper.sum()} hair px"
+
+
+def test_refine_pupil_recovers_offset_pupil():
+    """VERDICT r2 item 9: pupil offset from the eyelid-ring centroid must be
+    recovered within 1 px (the reference runs fdlite pupil detection,
+    dataprocess.py:376-450; the ring centroid alone misses off-center gaze)."""
+    from monohair_tpu.segment.annotations import refine_pupil
+
+    H, W = 96, 128
+    img = np.full((H, W), 0.85, np.float32)          # skin-bright background
+    # eyelid ring: ellipse of 6 landmarks around (64, 48), rx=22, ry=10
+    angles = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+    ring = np.stack([64 + 22 * np.cos(angles), 48 + 10 * np.sin(angles)], -1)
+    # white sclera inside the ring, dark pupil 6 px RIGHT of the centroid
+    ys, xs = np.mgrid[:H, :W]
+    inside = ((xs - 64) / 22.0) ** 2 + ((ys - 48) / 10.0) ** 2 <= 1.0
+    img[inside] = 0.95
+    pupil_true = np.array([70.0, 48.0])
+    pup = (xs - pupil_true[0]) ** 2 + (ys - pupil_true[1]) ** 2 <= 4.0 ** 2
+    img[pup & inside] = 0.05
+
+    got = refine_pupil(img, ring.astype(np.float32))
+    err = np.linalg.norm(got - pupil_true)
+    assert err < 1.0, (got, pupil_true, err)
+    # and it must NOT collapse to the ring centroid (6 px away)
+    assert np.linalg.norm(got - ring.mean(0)) > 4.0
+
+
+def test_refine_pupil_degenerate_falls_back_to_centroid():
+    from monohair_tpu.segment.annotations import refine_pupil
+    img = np.ones((32, 32), np.float32)              # uniformly bright
+    ring = np.array([[10, 10], [12, 10], [14, 10],
+                     [14, 12], [12, 12], [10, 12]], np.float32)
+    got = refine_pupil(img, ring)
+    np.testing.assert_allclose(got, ring.mean(0), atol=1e-4)

@@ -17,13 +17,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def timeit(fn, *args, reps=5):
+    """Device timing over the axon tunnel: reduce outputs on device and read
+    one scalar back every rep (block_until_ready does NOT synchronize the
+    tunnel — bench.py:52-68 pattern)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)          # compile
+    import jax.numpy as jnp
+
+    def reduced(*a):
+        leaves = jax.tree_util.tree_leaves(fn(*a))
+        return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
+
+    red = jax.jit(reduced)
+    acc = float(red(*args))  # warmup/compile
     t0 = time.time()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
+        acc += float(red(*args))
+    assert np.isfinite(acc) or True
     return (time.time() - t0) / reps
 
 
