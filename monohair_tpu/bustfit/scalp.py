@@ -19,10 +19,21 @@ from ..io.mesh_io import load_obj_with_uv, save_obj
 
 
 def extract_scalp(head_obj_path: str, scalp_mask_path: str, save_path: str,
-                  red_threshold: float = 0.3) -> Tuple[np.ndarray, np.ndarray]:
+                  red_threshold: float = 0.3,
+                  verts_override: np.ndarray = None
+                  ) -> Tuple[np.ndarray, np.ndarray]:
     """Select head-template faces whose average texture red > threshold
-    (generate_scalp_from_head, Utils.py:1288-1303) and save the submesh."""
+    (generate_scalp_from_head, Utils.py:1288-1303) and save the submesh.
+
+    `verts_override` substitutes fitted vertex positions for the template's
+    (topology/UVs from the template, geometry from the fit — the
+    generate_bust flow, prepare_data.py:140)."""
     verts, faces, uvs, face_uvs = load_obj_with_uv(head_obj_path)
+    if verts_override is not None:
+        if len(verts_override) != len(verts):
+            raise ValueError(f"verts_override has {len(verts_override)} verts, "
+                             f"template has {len(verts)}")
+        verts = np.asarray(verts_override)
     if face_uvs is None:
         raise ValueError(f"{head_obj_path} has no per-face UVs")
     tex = cv2.imread(scalp_mask_path)

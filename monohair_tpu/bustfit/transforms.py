@@ -104,6 +104,11 @@ def process_bust_meshes(args: Config) -> None:
         if os.path.exists(src):
             shutil.copyfile(src, os.path.join(vh, name))
     tsfm = os.path.join(root, "model_tsfm.dat")
+    if not os.path.exists(tsfm):
+        # wig mode: no bust fit ran — identity transform (run_bust_fit's
+        # _write_identity contract, mirrored here for robustness)
+        print("[process_bust] model_tsfm.dat missing; using identity")
+        save_model_tsfm(tsfm, np.eye(4))
     shutil.copyfile(tsfm, os.path.join(vh, "model_tsfm.dat"))
     for name, out in (("bust_long.obj", "bust_long_tsfm.obj"),
                       ("scalp.obj", "scalp_tsfm.obj"),

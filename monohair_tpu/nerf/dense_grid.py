@@ -86,10 +86,24 @@ def grid_encode_level(grid_zf: jnp.ndarray, points01: jnp.ndarray,
     return out
 
 
+# The axon TPU runtime faults ("worker crashed, kernel fault") executing a
+# single scatter-add over ~4M rows — the backward of the 4N-row gather at
+# N >= 1.05M points; N = 524k (2.1M rows) executes fine
+# (tools/debug_dense_step2.py bisect, 2026-08). Chunking the point axis keeps
+# every gather AND its backward scatter under the known-good size. Chunk count
+# is static (shapes are traced), so jit sees a short unrolled loop.
+ENCODE_CHUNK = 262144
+
+
 def grid_encode(grids, points01: jnp.ndarray, cfg: DenseGridConfig
                 ) -> jnp.ndarray:
     """All levels -> (N, L*F) features (same output convention as
     ngp.hash_encode; levels looped in Python — shapes differ per level)."""
+    N = points01.shape[0]
+    if N > ENCODE_CHUNK:
+        return jnp.concatenate(
+            [grid_encode(grids, points01[beg:beg + ENCODE_CHUNK], cfg)
+             for beg in range(0, N, ENCODE_CHUNK)], 0)
     feats = [grid_encode_level(g, points01, cfg.features_per_level)
              for g in grids]
     return jnp.concatenate(feats, 0).T                         # (N, L*F)

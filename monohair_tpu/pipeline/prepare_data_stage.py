@@ -75,6 +75,42 @@ def process_images(root: str, image_folder: str = "capture_images",
                     (color[..., ::-1] * 255).astype(np.uint8), jpg_q)
 
 
+def promote_fit_artifacts(args: Config) -> None:
+    """Copy the bust-fit outputs up to the case root and build Bust/ from the
+    fitted template (prepare_data.py:127-140): model_tsfm[.semantic].dat at
+    the root, then bust_long/scalp/flame_bust meshes cut from
+    optimize/final_template.obj. Skips quietly in wig mode (no fitted
+    template) — process_bust then falls back to identity."""
+    root = args.data.root
+    opt = os.path.join(root, "optimize")
+    for f in ("model_tsfm.dat", "model_tsfm_semantic.dat"):
+        src = os.path.join(opt, f)
+        if os.path.exists(src):
+            shutil.copyfile(src, os.path.join(root, f))
+    tmpl = os.path.join(opt, "final_template.obj")
+    if not os.path.exists(tmpl):
+        return
+    bf = args.get("bustfit", {}) or {}
+    bust_root = os.path.join(root, "Bust")
+    os.makedirs(bust_root, exist_ok=True)
+    verts, faces = load_obj(tmpl)
+    from ..bustfit.scalp import cut_bust_long, extract_flame_bust, extract_scalp
+    cut_bust_long(verts, faces, os.path.join(bust_root, "bust_long.obj"),
+                  y_cut=float(bf.get("bust_cut_y", -0.6)))
+    flame_tmpl = bf.get("flame_template", "assets/data/head_template.obj")
+    flame_ids = bf.get("flame_vertex_ids",
+                       "assets/data/SMPL-X__FLAME_vertex_ids.npy")
+    scalp_mask = bf.get("scalp_mask", "assets/data/scalp_mask.png")
+    if os.path.exists(flame_ids) and os.path.exists(flame_tmpl):
+        extract_flame_bust(verts, flame_ids, flame_tmpl,
+                           os.path.join(bust_root, "flame_bust.obj"))
+        if os.path.exists(scalp_mask):
+            ids = np.load(flame_ids)
+            extract_scalp(flame_tmpl, scalp_mask,
+                          os.path.join(bust_root, "scalp.obj"),
+                          verts_override=verts[ids])
+
+
 def run_prepare_data(args: Config) -> None:
     t0 = time.monotonic()
     root = args.data.root
@@ -104,6 +140,7 @@ def run_prepare_data(args: Config) -> None:
     if args.prepare_data.get("fit_bust"):
         from ..bustfit.pipeline import run_bust_fit
         run_bust_fit(args)
+        promote_fit_artifacts(args)
 
     if args.prepare_data.process_bust:
         from ..bustfit.transforms import process_bust_meshes

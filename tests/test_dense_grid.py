@@ -103,3 +103,29 @@ def test_dense_field_overfits_tiny_scene():
                           ds.fx, ds.fy, ds.cx, ds.cy, chunk=1600)
     p = psnr(rgb, ds.images[0])
     assert p > p0 + 3.0, (p0, p)
+
+
+def test_grid_encode_chunked_matches_unchunked(rng):
+    """The ENCODE_CHUNK split (axon scatter-fault workaround) must be a pure
+    reshape of the work: identical features and grid gradients."""
+    import jax
+    import jax.numpy as jnp
+    from monohair_tpu.nerf import dense_grid as dg
+
+    cfg = dg.DenseGridConfig(resolutions=(8, 12), features_per_level=2)
+    grids = [jnp.asarray(rng.normal(size=(r, r, r * 2)).astype(np.float32))
+             for r in cfg.resolutions]
+    pts = jnp.asarray(rng.random((50, 3)).astype(np.float32))
+
+    ref = dg.grid_encode(grids, pts, cfg)
+    old = dg.ENCODE_CHUNK
+    try:
+        dg.ENCODE_CHUNK = 16          # force 4 chunks
+        got = dg.grid_encode(grids, pts, cfg)
+        g_ref = jax.grad(lambda g: jnp.sum(dg.grid_encode(g, pts, cfg) ** 2))(grids)
+    finally:
+        dg.ENCODE_CHUNK = old
+    g_unchunked = jax.grad(lambda g: jnp.sum(dg.grid_encode(g, pts, cfg) ** 2))(grids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+    for a, b in zip(g_ref, g_unchunked):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)

@@ -1,0 +1,290 @@
+#!/usr/bin/env python
+"""Build a capture-scale synthetic case that exercises EVERY pipeline stage —
+colmap frames + transforms.json for the NeRF, a calibration rig consistent
+with the pose-anchor chain, segmentation/landmark checkpoints, and synthetic
+SMPL-X / FLAME-template / scalp-mask assets for the full bust fit — so
+`run_pipeline.py --yaml=configs/reconstruct/<case>` runs end-to-end from
+images to connected_strands.hair on real hardware with zero external data.
+
+Scene: an analytic head (lambertian sphere, striped hair cap) orbited by
+N_FRAMES cameras at 1280x720. Frame consistency: capture poses are authored
+in the NeRF frame; the rig is DERIVED through the same anchor algebra the
+pipeline uses (poses.py module doc), with key_frame = frame 0's NGP pose, so
+generate_mvs_pose_from_base_cam reproduces the intended MVS ring exactly.
+MVS scale = 0.165 x NeRF scale (the 0.33 NGP scale and the /2 rig unscale),
+so the head lands at MVS radius ~0.12 — inside the 256^3 PMVO grid.
+
+Usage: python tools/make_capture_case.py <data_root> [case_name]
+"""
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_FRAMES = 32
+H, W = 720, 1280
+FOV_Y = 24.0                   # deg; head ~55% of frame height
+CAM_R_NERF = 6.67              # -> MVS ring radius ~1.10
+HEAD_R_NERF = 0.72             # -> MVS head radius ~0.119
+HAIR_POLAR_DEG = 70.0          # hair cap: polar angle < this
+SKIN = np.array([0.80, 0.62, 0.52])
+HAIR = np.array([0.23, 0.16, 0.10])
+BG = 0.92
+LIGHT = np.array([0.4, 0.7, 0.45]) / np.linalg.norm([0.4, 0.7, 0.45])
+
+
+def orbit_pose(a, elev=0.12):
+    eye = np.array([math.cos(a), elev, math.sin(a)])
+    eye = eye / np.linalg.norm(eye) * CAM_R_NERF
+    fwd = -eye / np.linalg.norm(eye)
+    up = np.array([0.0, 1.0, 0.0])
+    right = np.cross(fwd, up)
+    right /= np.linalg.norm(right)
+    c2w = np.eye(4)
+    c2w[:3, :3] = np.stack([right, np.cross(right, fwd), -fwd], 1)
+    c2w[:3, 3] = eye
+    return c2w
+
+
+def render_view(c2w, f_pix):
+    """Analytic lambertian head with a striped hair cap on light background."""
+    rows, cols = np.meshgrid(np.arange(H, dtype=np.float32) + 0.5,
+                             np.arange(W, dtype=np.float32) + 0.5,
+                             indexing="ij")
+    x = (cols - W / 2) / f_pix
+    y = -(rows - H / 2) / f_pix
+    d = np.stack([x, y, -np.ones_like(x)], -1) @ c2w[:3, :3].T
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = c2w[:3, 3]
+    b = d @ o
+    disc = b * b - (o @ o - HEAD_R_NERF ** 2)
+    hit = disc > 0
+    t = -b - np.sqrt(np.maximum(disc, 0.0))
+    p = o[None, None] + d * t[..., None]
+    n = p / HEAD_R_NERF
+    shade = np.clip(n @ LIGHT, 0.0, 1.0) * 0.75 + 0.25
+    polar = np.degrees(np.arccos(np.clip(n[..., 1], -1.0, 1.0)))
+    az = np.arctan2(n[..., 2], n[..., 0])
+    stripes = 0.55 + 0.45 * np.sin(48.0 * az)          # combed-down texture
+    img = np.full((H, W, 3), BG, np.float32)
+    hair = hit & (polar < HAIR_POLAR_DEG)
+    skin = hit & ~ (polar < HAIR_POLAR_DEG)
+    img[skin] = SKIN[None] * shade[skin, None]
+    img[hair] = HAIR[None] * (shade[hair] * stripes[hair])[:, None]
+    return img, hair
+
+
+def synth_smplx_npz(path, rng, head_verts, head_faces):
+    """SMPL-X npz in the official layout (load_smplx_npz contract): the first
+    len(head_verts) vertices ARE the head sphere (FLAME subset anchor), the
+    rest a coarse torso; 8 joints, 20 betas + 10 packed expression dirs."""
+    Vh = len(head_verts)
+    torso = (rng.random((600, 3)) - 0.5) * np.array([0.5, 1.0, 0.3]) \
+        + np.array([0.0, -0.55, 0.0])
+    v = np.concatenate([head_verts, torso], 0).astype(np.float32)
+    V = len(v)
+    J = 8
+    dirs = np.zeros((V, 3, 310), np.float32)
+    dirs[..., :20] = rng.normal(size=(V, 3, 20)).astype(np.float32) * 0.01
+    dirs[..., 300:310] = rng.normal(size=(V, 3, 10)).astype(np.float32) * 0.005
+    posedirs = rng.normal(size=(V, 3, (J - 1) * 9)).astype(np.float32) * 1e-3
+    Jr = rng.random((J, V)).astype(np.float32)
+    Jr /= Jr.sum(-1, keepdims=True)
+    Wl = rng.random((V, J)).astype(np.float32)
+    Wl /= Wl.sum(-1, keepdims=True)
+    kin = np.stack([np.array([-1] + [j // 2 for j in range(J - 1)]),
+                    np.arange(J)])
+    faces = np.concatenate([head_faces,
+                            Vh + np.stack([np.arange(0, 300), np.arange(1, 301),
+                                           np.arange(2, 302)], -1)], 0)
+    np.savez(path, v_template=v, shapedirs=dirs, posedirs=posedirs,
+             J_regressor=Jr, kintree_table=kin, weights=Wl, f=faces)
+    return V
+
+
+def uv_sphere_obj(path, subdiv=16, radius=0.12):
+    """Head template with UVs (needed by extract_scalp)."""
+    th = np.linspace(0, np.pi, subdiv + 1)[1:-1]
+    ph = np.linspace(0, 2 * np.pi, 2 * subdiv, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    ring = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)],
+                    -1).reshape(-1, 3)
+    verts = np.concatenate([[[0, 1, 0]], ring, [[0, -1, 0]]], 0) * radius
+    uv = np.zeros((len(verts), 2))
+    uv[0] = [0.5, 1.0]
+    uv[-1] = [0.5, 0.0]
+    uv[1:-1, 0] = (P.ravel() / (2 * np.pi))
+    uv[1:-1, 1] = 1.0 - T.ravel() / np.pi
+    nph = len(ph)
+    faces = []
+    for j in range(nph):
+        faces.append([0, 1 + (j + 1) % nph, 1 + j])
+        base = 1 + (len(th) - 1) * nph
+        faces.append([len(verts) - 1, base + j, base + (j + 1) % nph])
+    for i in range(len(th) - 1):
+        for j in range(nph):
+            a = 1 + i * nph + j
+            b = 1 + i * nph + (j + 1) % nph
+            faces += [[a, b, a + nph], [b, b + nph, a + nph]]
+    with open(path, "w") as f:
+        for p in verts:
+            f.write(f"v {p[0]} {p[1]} {p[2]}\n")
+        for t in uv:
+            f.write(f"vt {t[0]} {t[1]}\n")
+        for fc in faces:
+            f.write("f {0}/{0} {1}/{1} {2}/{2}\n".format(*[k + 1 for k in fc]))
+    return verts, np.asarray(faces, np.int64)
+
+
+def random_ckpt(path, net, example, rng_key):
+    """Random-init flax tree saved in the runner checkpoint format — the real
+    inference graph runs end-to-end; outputs are untrained (timing-honest)."""
+    import jax
+    from monohair_tpu.segment.runners import save_flax_tree
+    variables = jax.jit(net.init)(rng_key, example)
+    tree = {"params": variables["params"]}
+    if "batch_stats" in variables:
+        tree["batch_stats"] = variables["batch_stats"]
+    save_flax_tree(path, tree)
+
+
+def main(data_root, case="bigsynth"):
+    import cv2
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    from monohair_tpu.coords import nerf_to_ngp
+    from monohair_tpu.nerf.poses import mvs_to_ngp_rot, save_base_cam, _se3
+
+    root = os.path.join(data_root, case)
+    rng = np.random.default_rng(7)
+    os.makedirs(os.path.join(root, "colmap/images"), exist_ok=True)
+    for sub in ("ours", "assets", "ckpts"):
+        os.makedirs(os.path.join(root, sub), exist_ok=True)
+
+    f_pix = (H / 2) / math.tan(math.radians(FOV_Y) / 2)
+    angles = [2 * math.pi * j / N_FRAMES for j in range(N_FRAMES)]
+    poses = [orbit_pose(a) for a in angles]
+
+    frames = []
+    print(f"rendering {N_FRAMES} views at {W}x{H}...", flush=True)
+    for j, c2w in enumerate(poses):
+        img, _ = render_view(c2w, f_pix)
+        name = f"frame_{j:04d}"
+        cv2.imwrite(os.path.join(root, "colmap/images", name + ".png"),
+                    (img[..., ::-1] * 255).astype(np.uint8))
+        frames.append({"file_path": f"images/{name}.png",
+                       "transform_matrix": c2w.tolist()})
+    with open(os.path.join(root, "colmap/transforms.json"), "w") as f:
+        json.dump({"camera_angle_x": 2 * math.atan(W / (2 * f_pix)),
+                   "camera_angle_y": math.radians(FOV_Y),
+                   "fl_x": f_pix, "fl_y": f_pix, "cx": W / 2, "cy": H / 2,
+                   "w": W, "h": H, "frames": frames}, f, indent=1)
+
+    # key frame = frame 0's NGP pose (anchor identity at view 0)
+    B = [nerf_to_ngp(p) for p in poses]
+    save_base_cam(os.path.join(root, "colmap/key_frame.json"),
+                  [_se3(B[0][:, :3], B[0][:, 3])], [FOV_Y])
+
+    # rig: every 2nd frame, MVS pose derived by inverting _rig_pose
+    fy_rig = 1920.0 / (3.0 * math.tan(math.radians(FOV_Y) / 2))
+    ndc = [2 * f_pix / W, 2 * f_pix / H, 0.0, 0.0]
+    cam_list = []
+    for k, j in enumerate(range(0, N_FRAMES, 2)):
+        rot = mvs_to_ngp_rot(B[j][:, :3])          # involution: ngp -> mvs
+        trans = B[j][:, 3] / 2.0 - 1.0
+        cam_list.append({"file": f"{k:03d}", "intrin": [0.0] * 4,
+                         "intrin_op": [fy_rig, fy_rig, 0.0, 0.0],
+                         "dist": [0.0] * 5,
+                         "pose": _se3(rot, trans).tolist(), "ndc_prj": ndc})
+    calib_path = os.path.join(root, "calib_cam_params.json")
+    with open(calib_path, "w") as f:
+        json.dump({"cam_list": cam_list}, f, indent=1)
+
+    # synthetic assets: head template w/ UVs, scalp mask, SMPL-X npz,
+    # FLAME ids, landmark ids
+    head_r_mvs = HEAD_R_NERF * 0.33 / 2.0
+    hv, hf = uv_sphere_obj(os.path.join(root, "assets/head_template.obj"),
+                           radius=head_r_mvs)
+    mask = np.zeros((256, 256, 3), np.uint8)
+    mask[170:, :, 2] = 255                          # top of UV sphere = scalp
+    cv2.imwrite(os.path.join(root, "assets/scalp_mask.png"), mask)
+    Vtot = synth_smplx_npz(os.path.join(root, "assets/SMPLX_SYNTH.npz"),
+                           rng, hv, hf)
+    np.save(os.path.join(root, "assets/flame_vertex_ids.npy"),
+            np.arange(len(hv)))
+    np.save(os.path.join(root, "assets/landmark_vertex_ids.npy"),
+            rng.choice(len(hv), 68, replace=False).astype(np.int64))
+
+    # segmentation / landmark checkpoints (random-init, real graphs)
+    import jax.numpy as jnp
+    from monohair_tpu.segment.bisenet import BiSeNet
+    from monohair_tpu.segment.fan import FAN
+    from monohair_tpu.segment.modnet import MODNet
+    random_ckpt(os.path.join(root, "ckpts/modnet.npz"), MODNet(),
+                jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(0))
+    random_ckpt(os.path.join(root, "ckpts/bisenet.npz"), BiSeNet(n_classes=19),
+                jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(1))
+    random_ckpt(os.path.join(root, "ckpts/fan.npz"), FAN(num_modules=1),
+                jnp.zeros((1, 256, 256, 3)), jax.random.PRNGKey(2))
+
+    cfg = f"""_parent_: configs/reconstruct/base.yaml
+
+name: e2e
+data:
+  root: {root}
+  case: {case}
+  image_size: [{H}, {W}]
+  frame_interval: 2
+
+camera_path: {calib_path}
+image_camera_path: ours/cam_params.json
+
+ngp:
+  train_steps: 1500
+  field: dense
+  marching_cubes_density_thresh: 3.0
+
+segment:
+  modnet_flax: {root}/ckpts/modnet.npz
+  parser_flax: {root}/ckpts/bisenet.npz
+  fan_flax: {root}/ckpts/fan.npz
+  fan_modules: 1
+
+bustfit:
+  smplx_model: {root}/assets/SMPLX_SYNTH.npz
+  landmark_vertex_ids: {root}/assets/landmark_vertex_ids.npy
+  flame_template: {root}/assets/head_template.obj
+  flame_vertex_ids: {root}/assets/flame_vertex_ids.npy
+  scalp_mask: {root}/assets/scalp_mask.png
+  bust_cut_y: -0.4
+
+optimize:
+  iter: 500
+
+mvs:
+  occ_model_path:
+  ori_model_path:
+
+PMVO:
+  patch_size: 7
+  conf_threshold: 0.1
+  num_sample_per_grid: 2
+  threshold: 0.05
+  infer_inner: true
+"""
+    os.makedirs("configs/reconstruct", exist_ok=True)
+    with open(f"configs/reconstruct/{case}.yaml", "w") as f:
+        f.write(cfg)
+    print(f"case at {root} ({Vtot} smplx verts); "
+          f"config configs/reconstruct/{case}.yaml", flush=True)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/capture_case",
+         sys.argv[2] if len(sys.argv) > 2 else "bigsynth")

@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Generate a fleet of synthetic MVS training cases for train_mvs.py
+(VERDICT r3 item 4: train the occ/ori nets to reference-league metrics).
+
+Each case: a procedurally varied wig (curl, length, tilt, density differ per
+seed) on a head sphere -> GT Occ3D/Ori3D grids by voxelizing the strand
+tangents, and the four per-view maps the net consumes — undirectional_map /
+mask / hair_depth rasterized from the strands, bust_depth from the head mesh —
+through the SAME renderer the pipeline uses at inference (render.render_data),
+so train and eval distributions match. Matches the reference data contract of
+datasets/BaseDataset.py:349-357.
+
+Usage: python tools/make_mvs_cases.py <out_root> [n_cases] [n_views] [size]
+"""
+
+import json
+import math
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEAD_R = 0.095
+HEAD_C = np.array([0.0, -0.02, 0.0])
+
+
+def make_varied_wig(rng, num_strands=700, num_pts=90):
+    """Strands grown from the upper head sphere with per-case style knobs."""
+    curl = rng.uniform(0.0, 2.2)           # spiral strength
+    length = rng.uniform(0.10, 0.22)
+    tilt = rng.uniform(-0.35, 0.35)        # comb direction lean (radians)
+    wave = rng.uniform(0.0, 0.05)
+    step = length / num_pts
+    # roots on the polar cap
+    u = rng.normal(size=(num_strands, 3))
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    u[:, 1] = np.abs(u[:, 1]) * 1.6 + 0.4
+    u /= np.linalg.norm(u, axis=-1, keepdims=True)
+    p = HEAD_C + u * HEAD_R
+    phase = rng.uniform(0, 2 * np.pi, num_strands)
+    out = np.empty((num_strands, num_pts, 3), np.float32)
+    tl = np.array([math.sin(tilt), 0.0, 0.0])
+    for i in range(num_pts):
+        out[:, i] = p
+        r = p - HEAD_C
+        rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-9)
+        down = np.array([0.0, -1.0, 0.0]) + tl
+        # project 'down' onto the local tangent plane while near the scalp,
+        # blend to free fall with arc length
+        t = down - rn * (rn @ down)[..., None] * np.clip(1.5 - i / 30.0, 0, 1)
+        swirl = np.stack([-rn[:, 2], np.zeros(num_strands), rn[:, 0]], -1)
+        t = t + curl * 0.4 * swirl * np.sin(phase + i * 0.15)[:, None]
+        t += wave * np.sin(i * 0.45 + phase)[:, None] * np.stack(
+            [np.cos(phase), np.zeros(num_strands), np.sin(phase)], -1)
+        t /= np.maximum(np.linalg.norm(t, axis=-1, keepdims=True), 1e-9)
+        p = p + t * step
+    return [out[k] for k in range(num_strands)]
+
+
+def head_mesh(subdiv=20):
+    th = np.linspace(0, np.pi, subdiv + 1)[1:-1]
+    ph = np.linspace(0, 2 * np.pi, 2 * subdiv, endpoint=False)
+    T, P = np.meshgrid(th, ph, indexing="ij")
+    ring = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)],
+                    -1).reshape(-1, 3)
+    verts = np.concatenate([[[0, 1, 0]], ring, [[0, -1, 0]]], 0) * HEAD_R + HEAD_C
+    nph = len(ph)
+    faces = []
+    for j in range(nph):
+        faces.append([0, 1 + (j + 1) % nph, 1 + j])
+        base = 1 + (len(th) - 1) * nph
+        faces.append([len(verts) - 1, base + j, base + (j + 1) % nph])
+    for i in range(len(th) - 1):
+        for j in range(nph):
+            a = 1 + i * nph + j
+            b = 1 + i * nph + (j + 1) % nph
+            faces += [[a, b, a + nph], [b, b + nph, a + nph]]
+    return verts.astype(np.float32), np.asarray(faces, np.int64)
+
+
+def ring_cameras(V, fx, fy):
+    from monohair_tpu.camera import Cameras
+    cams = []
+    for v in range(V):
+        a = 2 * math.pi * v / V
+        eye = np.array([math.cos(a), 0.12, math.sin(a)]) * 1.1
+        fwd = -eye / np.linalg.norm(eye)
+        up = np.array([0.0, 1.0, 0.0])
+        right = np.cross(fwd, up)
+        right /= np.linalg.norm(right)
+        c2w = np.eye(4)
+        c2w[:3, :3] = np.stack([right, np.cross(right, fwd), -fwd], 1)
+        c2w[:3, 3] = eye
+        cams.append({"file": f"{v:03d}", "ndc_prj": [fx, fy, 0.0, 0.0],
+                     "pose": c2w.tolist()})
+    return Cameras.from_json_list(cams), cams
+
+
+def main(out_root, n_cases=12, n_views=16, size=256):
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    from monohair_tpu.io.mat_io import save_occ_ori_mat
+    from monohair_tpu.ops.voxelize import voxelize_directions
+    from monohair_tpu.render import render_data
+
+    os.makedirs(out_root, exist_ok=True)
+    fx, fy = 2.6, 2.6 * size / size
+    cams, cam_list = ring_cameras(n_views, fx, fy)
+    with open(os.path.join(out_root, "cam_params.json"), "w") as f:
+        json.dump({"cam_list": cam_list}, f)
+    hv, hf = head_mesh()
+
+    for c in range(n_cases):
+        rng = np.random.default_rng(1000 + c)
+        case_dir = os.path.join(out_root, f"case{c:03d}")
+        strands = make_varied_wig(rng)
+        pts = np.concatenate([s[:-1] for s in strands])
+        tang = np.concatenate([s[1:] - s[:-1] for s in strands])
+        tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
+        occ, ori = voxelize_directions(jnp.asarray(pts), jnp.asarray(tang))
+        save_occ_ori_mat(os.path.join(case_dir, "ours"),
+                         np.asarray(occ), np.asarray(ori))
+        names = [f"{v:03d}" for v in range(n_views)]
+        render_data(cams, names, strands, hv, hf, (size, size),
+                    save_root=os.path.join(case_dir, "imgs"))
+        n_occ = int(np.asarray(occ).sum())
+        print(f"case{c:03d}: {len(strands)} strands, {n_occ} occupied voxels",
+              flush=True)
+    print(f"wrote {n_cases} cases under {out_root}")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "/tmp/mvs_cases",
+         *(int(a) for a in sys.argv[2:]))

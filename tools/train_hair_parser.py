@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Train the hair parser (BiSeNet) and person matte (MODNet) on synthetic
+capture-like frames, then evaluate hair IoU through the pipeline's OWN
+ensemble protocol (ParsingRunner: 3 scales x flip; calc_masks.py:67-124
+equivalent) — VERDICT r3 item 5.
+
+Frames are rendered procedurally: a lambertian head sphere with a striped
+hair cap and strand arcs, randomly placed/scaled (heads as small as 15% of
+the frame), over busy backgrounds (gradients, blobs, clutter rectangles) —
+the capture-domain conditions the VERDICT flagged (small head, busy
+background). Labels: 0 background, 1 skin, 17 hair (CelebAMask ids,
+bisenet.FACE_CLASSES).
+
+Outputs: trained/hair_parser/{bisenet.npz, modnet.npz, stats.txt} and a
+printed hair-IoU line. Run on the TPU:
+    python tools/train_hair_parser.py [--steps 1500] [--out trained/hair_parser]
+"""
+
+import argparse
+import math
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+S = 512
+
+
+def render_frame(rng):
+    """(S, S, 3) uint8 frame + (S, S) uint8 label (0 bg / 1 skin / 17 hair)."""
+    import cv2
+    img = np.zeros((S, S, 3), np.float32)
+    # background: gradient + clutter
+    g0, g1 = rng.random(3), rng.random(3)
+    t = np.linspace(0, 1, S)[:, None, None]
+    img[:] = g0 * (1 - t) + g1 * t
+    for _ in range(rng.integers(0, 12)):
+        x0, y0 = rng.integers(0, S, 2)
+        w, h = rng.integers(20, 200, 2)
+        img[y0:y0 + h, x0:x0 + w] = rng.random(3)
+    img += rng.normal(0, 0.03, img.shape)
+
+    # head placement: radius 8%..35% of frame
+    r = rng.uniform(0.08, 0.35) * S
+    cx = rng.uniform(0.25, 0.75) * S
+    cy = rng.uniform(0.25, 0.75) * S
+    skin = np.array([rng.uniform(0.45, 0.9), rng.uniform(0.35, 0.7),
+                     rng.uniform(0.3, 0.6)])
+    skin = np.sort(skin)[::-1]                       # r >= g >= b skin-ish
+    hair_col = rng.random(3) * rng.uniform(0.05, 0.5)
+    light = rng.normal(size=3)
+    light[1] = abs(light[1]) + 0.5
+    light /= np.linalg.norm(light)
+    cap_deg = rng.uniform(45, 95)
+    roll = rng.uniform(0, 2 * math.pi)
+
+    ys, xs = np.mgrid[:S, :S].astype(np.float32)
+    dx, dy = (xs - cx) / r, (ys - cy) / r
+    rr = dx * dx + dy * dy
+    hit = rr < 1.0
+    nz = np.sqrt(np.maximum(1.0 - rr, 0.0))
+    # head 'up' axis rolled in-plane
+    ux, uy = math.sin(roll), -math.cos(roll)
+    n_up = dx * ux + dy * uy
+    polar = np.degrees(np.arccos(np.clip(n_up, -1, 1)))
+    shade = np.clip(dx * light[0] - dy * light[1] + nz * light[2], 0, 1) \
+        * 0.7 + 0.3
+    az = np.arctan2(dy, dx)
+    stripes = 0.55 + 0.45 * np.sin(rng.uniform(20, 70) * az)
+
+    label = np.zeros((S, S), np.uint8)
+    hair = hit & (polar < cap_deg)
+    skin_px = hit & ~hair
+    img[skin_px] = skin[None] * shade[skin_px, None]
+    img[hair] = hair_col[None] * (shade[hair] * stripes[hair])[:, None]
+    label[skin_px] = 1
+    label[hair] = 17
+
+    # strand arcs falling from the cap rim (long hair)
+    mask_str = np.zeros((S, S), np.uint8)
+    n_str = rng.integers(0, 140)
+    length = rng.uniform(0.3, 2.2) * r
+    for _ in range(n_str):
+        a = rng.uniform(0, 2 * math.pi)
+        px = cx + math.cos(a) * r * rng.uniform(0.7, 1.0)
+        py = cy + math.sin(a) * r * rng.uniform(0.7, 1.0)
+        sway = rng.uniform(-0.4, 0.4)
+        ptlist = []
+        for k in range(8):
+            f = k / 7.0
+            ptlist.append([px + sway * f * f * r - ux * 0 + f * (-ux) * 0,
+                           py + f * length])
+            ptlist[-1][0] += math.sin(f * 3 + a) * 0.05 * r
+        cv2.polylines(mask_str, [np.array(ptlist, np.int32)], False, 1,
+                      thickness=max(1, int(r / 40)))
+    stro = mask_str.astype(bool) & ~skin_px
+    img[stro] = hair_col[None] * rng.uniform(0.6, 1.0)
+    label[stro] = 17
+
+    return (np.clip(img, 0, 1) * 255).astype(np.uint8), label
+
+
+def matte_from_label(label):
+    return (label > 0).astype(np.float32)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--width", type=float, default=0.5)
+    ap.add_argument("--n_train", type=int, default=320)
+    ap.add_argument("--n_eval", type=int, default=32)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--out", default="trained/hair_parser")
+    ap.add_argument("--modnet_steps", type=int, default=800)
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    import jax.numpy as jnp
+    import optax
+    from monohair_tpu.segment.bisenet import BiSeNet
+    from monohair_tpu.segment.modnet import MODNet
+    from monohair_tpu.segment.runners import (IMAGENET_MEAN, IMAGENET_STD,
+                                              MattingRunner, ParsingRunner,
+                                              save_flax_tree)
+
+    rng = np.random.default_rng(0)
+    print(f"rendering {args.n_train}+{args.n_eval} synthetic frames...",
+          flush=True)
+    frames, labels = zip(*[render_frame(rng)
+                           for _ in range(args.n_train + args.n_eval)])
+    frames = np.stack(frames)
+    labels = np.stack(labels)
+    tr_f, ev_f = frames[:args.n_train], frames[args.n_train:]
+    tr_l, ev_l = labels[:args.n_train], labels[args.n_train:]
+
+    # ---------------- BiSeNet hair parser ----------------
+    net = BiSeNet(n_classes=19, width=args.width)
+    variables = jax.jit(lambda: net.init(jax.random.PRNGKey(0),
+                                         jnp.zeros((1, S, S, 3)), True))()
+    tx = optax.adam(optax.cosine_decay_schedule(args.lr, args.steps))
+    opt = tx.init(variables["params"])
+
+    def loss_fn(params, stats, x, y):
+        (o, o16, o32), new_model = net.apply(
+            {"params": params, "batch_stats": stats}, x, True,
+            mutable=["batch_stats"])
+        y1 = jax.nn.one_hot(y, 19)
+        ce = lambda o: jnp.mean(optax.softmax_cross_entropy(o, y1))
+        return ce(o) + ce(o16) + ce(o32), new_model["batch_stats"]
+
+    @jax.jit
+    def step(params, stats, opt, x, y):
+        (l, stats), g = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, stats, x, y)
+        up, opt = tx.update(g, opt)
+        return optax.apply_updates(params, up), stats, opt, l
+
+    params, stats = variables["params"], variables["batch_stats"]
+    t0 = time.time()
+    for i in range(args.steps):
+        idx = rng.integers(0, args.n_train, args.batch)
+        x = tr_f[idx].astype(np.float32) / 255.0
+        if rng.random() < 0.5:
+            x = x[:, :, ::-1]
+            y = tr_l[idx][:, :, ::-1]
+        else:
+            y = tr_l[idx]
+        x = (x - IMAGENET_MEAN) / IMAGENET_STD
+        params, stats, opt, l = step(params, stats, opt,
+                                     jnp.asarray(x), jnp.asarray(y))
+        if i % 100 == 0:
+            print(f"[parser] step {i}/{args.steps} loss {float(l):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    os.makedirs(args.out, exist_ok=True)
+    parser_path = os.path.join(args.out, "bisenet.npz")
+    save_flax_tree(parser_path, {"params": params, "batch_stats": stats})
+
+    # ---------------- MODNet person matte ----------------
+    mnet = MODNet(width=args.width)
+    mvars = jax.jit(lambda: mnet.init(jax.random.PRNGKey(1),
+                                      jnp.zeros((1, S, S, 3))))()
+    mtx = optax.adam(optax.cosine_decay_schedule(args.lr, args.modnet_steps))
+
+    def m_loss(params, stats, x, y):
+        out, new_model = mnet.apply({"params": params, "batch_stats": stats},
+                                    x, mutable=["batch_stats"])
+        matte = out[2][..., 0]
+        return jnp.mean(jnp.abs(matte - y)), new_model["batch_stats"]
+
+    @jax.jit
+    def m_step(params, stats, opt, x, y):
+        (l, stats), g = jax.value_and_grad(m_loss, has_aux=True)(
+            params, stats, x, y)
+        up, opt = mtx.update(g, opt)
+        return optax.apply_updates(params, up), stats, opt, l
+
+    mparams, mstats = mvars["params"], mvars["batch_stats"]
+    mopt = mtx.init(mparams)
+    for i in range(args.modnet_steps):
+        idx = rng.integers(0, args.n_train, args.batch)
+        x = (tr_f[idx].astype(np.float32) / 255.0 - 0.5) / 0.5
+        y = matte_from_label(tr_l[idx])
+        mparams, mstats, mopt, l = m_step(mparams, mstats, mopt,
+                                          jnp.asarray(x), jnp.asarray(y))
+        if i % 100 == 0:
+            print(f"[matte] step {i}/{args.modnet_steps} loss {float(l):.4f}",
+                  flush=True)
+    matte_path = os.path.join(args.out, "modnet.npz")
+    save_flax_tree(matte_path, {"params": mparams, "batch_stats": mstats})
+
+    # ---------------- eval through the pipeline protocol ----------------
+    runner = ParsingRunner(parser_path, width=args.width)
+    mrunner = MattingRunner(matte_path, width=args.width)
+    inter = union = 0.0
+    mae = []
+    for k in range(args.n_eval):
+        hm = runner.hair_mask(ev_f[k:k + 1])[0] > 127
+        gt = ev_l[k] == 17
+        inter += (hm & gt).sum()
+        union += (hm | gt).sum()
+        matte = mrunner.matte(ev_f[k:k + 1])[0]
+        mae.append(np.abs(matte - matte_from_label(ev_l[k])).mean())
+    iou = inter / max(union, 1)
+    print(f"ensemble hair IoU over {args.n_eval} frames: {iou:.4f}")
+    print(f"matte MAE: {np.mean(mae):.4f}")
+    with open(os.path.join(args.out, "stats.txt"), "w") as f:
+        f.write(f"hair_iou {iou:.4f}\nmatte_mae {np.mean(mae):.4f}\n"
+                f"steps {args.steps} width {args.width} "
+                f"train {args.n_train} eval {args.n_eval}\n")
+
+
+if __name__ == "__main__":
+    main()

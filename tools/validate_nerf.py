@@ -103,8 +103,16 @@ def main():
 
     H, W = args.height, args.width
     f = 0.5 * W  # ~53 deg hfov
-    print(f"rendering {args.views + 1} analytic views at {W}x{H}...", flush=True)
-    imgs, poses = make_orbit(args.views + 1, H, W, f)
+    cache = f"/tmp/nerf_orbit_{args.views + 1}_{W}x{H}.npz"
+    if os.path.exists(cache):
+        z = np.load(cache)
+        imgs, poses = z["imgs"], z["poses"]
+        print(f"loaded orbit from {cache}", flush=True)
+    else:
+        print(f"rendering {args.views + 1} analytic views at {W}x{H}...",
+              flush=True)
+        imgs, poses = make_orbit(args.views + 1, H, W, f)
+        np.savez(cache, imgs=imgs, poses=poses)
     train_ds = NerfDataset(imgs[:-1], poses[:-1], f, f, W / 2, H / 2)
     test_img, test_pose = imgs[-1], poses[-1]
 
