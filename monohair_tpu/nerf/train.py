@@ -64,9 +64,10 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
                lr: float = 1e-2, seed: int = 0, log_every: int = 500,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
-               occ_warmup: int = 256, num_samples: int = 128,
+               occ_warmup: int = 256, num_samples: int = 64,
                num_fine: int = 64, scan_block: int = 4, verbose: bool = False,
-               tv_weight: float = 0.0):
+               tv_weight: float = 0.0, use_remat: Optional[bool] = None,
+               sync_every: int = 4):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -78,8 +79,21 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     at log points), so blocks pipeline over the axon tunnel; scan_block
     stays small because the axon worker crashes executing step-scans of
     length >= 8 at capture-scale ray batches (empirically: 4 ok, 8 faults,
-    single grad steps at the same size fine)."""
+    single grad steps at the same size fine).
+
+    rays_per_batch * num_samples (and * num_fine) must stay <= ~524k: the
+    axon runtime kernel-faults executing the backward of a train step whose
+    differentiated sample count reaches 1.05M, regardless of how the encode
+    gathers are chunked (tools/debug_dense_step3.py bisect). The defaults
+    (8192 x 64) sit exactly at the known-good boundary."""
     field = field or NGPField()
+    if use_remat is None:
+        # remat trades the hash encode's multi-GB residuals for recompute;
+        # for the dense grid it is BOTH unnecessary (row-gather residuals are
+        # small) and fatal — the axon worker kernel-faults executing the
+        # rematerialized backward even at 8192x64 samples where the plain
+        # backward runs fine (tools/debug_dense_step3.py bisect).
+        use_remat = not hasattr(field, "tv")
     rng = jax.random.PRNGKey(seed)
     variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
     tx = optax.chain(optax.clip_by_global_norm(10.0),
@@ -99,13 +113,14 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     def one_step(use_occ):
         # remat the whole render: backward re-runs it instead of holding the
         # per-level hash-encode residuals (~GBs at 8192 rays x 128 samples)
-        @jax.checkpoint
         def rendered(variables, grid, o, d, sub):
             if use_occ:
                 return render_rays_occ(field, variables, grid, o, d,
                                        num_coarse=num_samples,
                                        num_fine=num_fine, rng=sub)[0]
             return render_rays(field, variables, o, d, num_samples, sub)[0]
+        if use_remat:
+            rendered = jax.checkpoint(rendered)
 
         def loss_fn(variables, grid, o, d, target, sub):
             rgb = rendered(variables, grid, o, d, sub)
@@ -181,9 +196,12 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
             if verbose:
                 print(f"[nerf] step {done + n_sub}/{steps} "
                       f"loss {losses[-1]:.5f}", flush=True)
-        elif (done // n_sub) % 16 == 0:
-            # bound async runahead: unbounded in-flight blocks can wedge the
-            # axon worker between log-point syncs
+        elif (done // n_sub) % sync_every == 0:
+            # bound async runahead: in-flight dense-grid blocks (donated
+            # ~350MB param trees) wedge the axon worker when allowed to queue
+            # 16 deep — the tunnel then hangs even for trivial probes. Sync
+            # every `sync_every` blocks (4 is stable; async dispatch still
+            # pipelines within the window).
             jax.block_until_ready(blk_losses)
         done += n_sub
     return field, variables, losses, occ_grid if use_occupancy else None

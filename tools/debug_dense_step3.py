@@ -52,21 +52,17 @@ def main():
 
     g64 = jax.jit(jax.grad(lambda v: loss(v, o_j, d_j, target, key, 64)))
     ok("grad 8192x64", g64, variables)
-    g128 = jax.jit(jax.grad(lambda v: loss(v, o_j, d_j, target, key, 128)))
-    ok("grad 8192x128", g128, variables)
-    gr = jax.jit(jax.grad(lambda v: loss(v, o_j, d_j, target, key, 128, True)))
-    ok("remat 8192x128", gr, variables)
-    gt_ = jax.jit(jax.grad(lambda v: loss(v, o_j, d_j, target, key, 128, True,
+    gt_ = jax.jit(jax.grad(lambda v: loss(v, o_j, d_j, target, key, 64, False,
                                           True)))
-    ok("remat+tv 8192x128", gt_, variables)
+    ok("tv 8192x64 (no remat)", gt_, variables)
 
     tx = optax.chain(optax.clip_by_global_norm(10.0), optax.adam(1e-2))
     opt_state = tx.init(variables)
 
     @jax.jit
     def astep(v, s):
-        l, g = jax.value_and_grad(lambda v: loss(v, o_j, d_j, target, key, 128,
-                                                 True, True))(v)
+        l, g = jax.value_and_grad(lambda v: loss(v, o_j, d_j, target, key, 64,
+                                                 False, True))(v)
         up, s = tx.update(g, s, v)
         return optax.apply_updates(v, up), s, l
     ok("adam step", astep, variables, opt_state)
@@ -84,8 +80,8 @@ def main():
         def body(carry, xs):
             v, s = carry
             ox, dx, t, k = xs
-            l, g = jax.value_and_grad(lambda v: loss(v, ox, dx, t, k, 128,
-                                                     True, True))(v)
+            l, g = jax.value_and_grad(lambda v: loss(v, ox, dx, t, k, 64,
+                                                     False, True))(v)
             up, s = tx.update(g, s, v)
             return (optax.apply_updates(v, up), s), l
         (v, s), ls = jax.lax.scan(body, (v, s),

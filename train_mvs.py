@@ -100,8 +100,14 @@ def main():
 
     store = CaseStore(args.data_root, args.calib, args.kind, args.val_frac,
                       args.max_cached_cases)
-    print(f"{len(store.cases)} training cases (streaming, "
-          f"cache {args.max_cached_cases})")
+    if args.holdout_cases:
+        train_cases = store.cases[:-args.holdout_cases]
+        val_cases = store.cases[-args.holdout_cases:]
+    else:
+        train_cases = val_cases = store.cases
+    print(f"{len(train_cases)} training / "
+          f"{len(val_cases) if args.holdout_cases else 0} held-out cases "
+          f"(streaming, cache {args.max_cached_cases})")
     first = store.get(store.cases[0])
     V, H, W = first["inputs"].imgs.shape[:3]
     is_occ = args.kind == "occ"
@@ -127,9 +133,10 @@ def main():
         return [float(loss)]
 
     def evaluate(split):
-        """Aggregate the split over every case (batched, eval-mode)."""
+        """Aggregate the split over its cases (batched, eval-mode). With
+        --holdout_cases, 'val' runs on cases never trained on."""
         rows = []
-        for case in store.cases:
+        for case in (train_cases if split == "train" else val_cases):
             entry = store.get(case)
             pts, targets = entry[split]
             if not len(pts):
@@ -149,7 +156,7 @@ def main():
 
     rng = np.random.default_rng(start)
     for i in range(start, args.steps):
-        entry = store.get(store.cases[int(rng.integers(0, len(store.cases)))])
+        entry = store.get(train_cases[int(rng.integers(0, len(train_cases)))])
         pts, targets = entry["train"]
         sel = rng.integers(0, len(pts), args.batch)
         state, loss = step(state, entry["inputs"].imgs, entry["inputs"].w2c,
