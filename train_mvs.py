@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--max_cached_cases", type=int, default=4)
     ap.add_argument("--resume", action="store_true",
                     help="restore params/opt state/step from --out and continue")
+    ap.add_argument("--holdout_cases", type=int, default=0,
+                    help="hold the LAST N cases out of training entirely; "
+                         "val metrics then measure case-level generalization "
+                         "(the reference curves' posture, stats_occ.txt)")
     args = ap.parse_args()
 
     import jax
