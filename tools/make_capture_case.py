@@ -191,13 +191,16 @@ def main(data_root, case="bigsynth"):
     save_base_cam(os.path.join(root, "colmap/key_frame.json"),
                   [_se3(B[0][:, :3], B[0][:, 3])], [FOV_Y])
 
-    # rig: every 2nd frame, MVS pose derived by inverting _rig_pose
+    # rig: every 2nd frame, MVS pose derived by inverting _rig_pose THROUGH
+    # a +1.5 anchor translation: the chain maps ngp p -> (anchor@p)/2 - 1, so
+    # anchor = translate(+1.5) places the NeRF-origin head at MVS origin
+    # (ngp(0) = 0.5 -> (0.5+1.5)/2 - 1 = 0) — where the PMVO voxel grid lives.
     fy_rig = 1920.0 / (3.0 * math.tan(math.radians(FOV_Y) / 2))
     ndc = [2 * f_pix / W, 2 * f_pix / H, 0.0, 0.0]
     cam_list = []
     for k, j in enumerate(range(0, N_FRAMES, 2)):
         rot = mvs_to_ngp_rot(B[j][:, :3])          # involution: ngp -> mvs
-        trans = B[j][:, 3] / 2.0 - 1.0
+        trans = (B[j][:, 3] + 1.5) / 2.0 - 1.0
         cam_list.append({"file": f"{k:03d}", "intrin": [0.0] * 4,
                          "intrin_op": [fy_rig, fy_rig, 0.0, 0.0],
                          "dist": [0.0] * 5,
@@ -237,7 +240,7 @@ def main(data_root, case="bigsynth"):
 
 name: e2e
 data:
-  root: {root}
+  root: {data_root}
   case: {case}
   image_size: [{H}, {W}]
   frame_interval: 2
