@@ -276,7 +276,12 @@ def fit_bust_full(model: SMPLXModel, cameras: Cameras, image_size,
     # the step size (the reference runs constant-lr Adam 10k iters and accepts
     # the residual jitter; decaying is strictly tighter)
     sched = optax.exponential_decay(lr, max(iters, 1), 0.03)
-    tx = optax.adam(sched)
+    # zero_nans + clipping keep the fit alive under hostile targets (failed
+    # detectors can place landmark targets anywhere — one exploding iteration
+    # must not poison the whole fit; the reference's batch-1 Adam tolerates
+    # this implicitly through its tiny per-frame steps)
+    tx = optax.chain(optax.zero_nans(), optax.clip_by_global_norm(1.0),
+                     optax.adam(sched))
     opt_state = tx.init(params)
 
     # Big model arrays enter the jitted step as *arguments*, never as closure

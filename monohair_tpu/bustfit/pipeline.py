@@ -111,6 +111,11 @@ def export_fit(out_dir: str, model, params, losses) -> None:
     import jax.numpy as jnp
 
     tsfm = np.asarray(model_tsfm_matrix(params))
+    if not np.isfinite(tsfm).all():
+        print("[bust_fit] non-finite fit result; exporting identity "
+              "(downstream stages must not inherit NaNs)")
+        _write_identity(out_dir)
+        return
     save_model_tsfm(os.path.join(out_dir, "model_tsfm.dat"), tsfm)
     matrix_to_semantic(tsfm).tofile(
         os.path.join(out_dir, "model_tsfm_semantic.dat"))

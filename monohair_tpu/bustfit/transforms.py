@@ -33,6 +33,10 @@ def transform_bust(mesh_path: str, tsfm_path: str, save_path: str) -> None:
     """Apply the fitted transform around the bust-origin shift
     (Utils.py:1091-1108)."""
     v, f = load_obj(mesh_path)
+    if len(v) == 0:
+        print(f"[process_bust] {mesh_path} is empty; skipping transform")
+        save_obj(save_path, v.reshape(0, 3), f.reshape(0, 3))
+        return
     tsfm = load_model_tsfm(tsfm_path)
     v = v + BUST_TO_ORIGIN
     v = (tsfm[:3, :3] @ v.T + tsfm[:3, 3:4]).T

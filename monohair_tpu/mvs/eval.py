@@ -13,6 +13,7 @@ hair_depth * 2, bust_depth * 2]; NHWC.
 from __future__ import annotations
 
 import os
+import time
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -109,7 +110,9 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
         pos_list.append(np.asarray(p)[:valid])
         ori_list.append(np.asarray(o)[:valid])
 
-    for beg in range(0, n, batch):
+    n_batches = (n + batch - 1) // batch
+    t_loop = time.monotonic()
+    for k, beg in enumerate(range(0, n, batch)):
         sub = query_points[beg:beg + batch]
         valid = sub.shape[0]
         if valid < batch:
@@ -119,6 +122,11 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
         if pending is not None:
             drain(*pending)
         pending = (p, o, valid)
+        if k % 64 == 0:
+            # progress at log points: device-bound loops look like hangs from
+            # the host otherwise (CLAUDE.md)
+            print(f"[mvs_eval] batch {k + 1}/{n_batches} "
+                  f"({time.monotonic() - t_loop:.0f}s)", flush=True)
     if pending is not None:
         drain(*pending)
     occ = np.concatenate(pos_list)

@@ -175,7 +175,12 @@ def ray_aabb(o: jnp.ndarray, d: jnp.ndarray, lo: float = -1.5, hi: float = 1.5
     t1 = (hi - o) * inv
     tmin = jnp.max(jnp.minimum(t0, t1), -1)
     tmax = jnp.min(jnp.maximum(t0, t1), -1)
-    return jnp.maximum(tmin, 0.05), jnp.maximum(tmax, 0.06)
+    tmin = jnp.maximum(tmin, 0.05)
+    # rays that MISS the box have tmax < tmin; clamp to a degenerate segment
+    # at tmin so deltas stay positive (a negative delta flips the absorption
+    # exponent sign -> exp overflow -> NaN loss when most rays miss, e.g.
+    # far-orbit captures)
+    return tmin, jnp.maximum(tmax, tmin + 0.01)
 
 
 def render_rays(field: NGPField, variables, o: jnp.ndarray, d: jnp.ndarray,

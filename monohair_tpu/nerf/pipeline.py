@@ -71,7 +71,9 @@ def run_ngp_stage(args: Config) -> None:
     quats, trans, fovs = load_base_cam(os.path.join(colmap_dir, "base_cam.json"))
     shot_dir = os.path.join(root, "trainning_images/capture_images")
     os.makedirs(shot_dir, exist_ok=True)
-    H, W = 1280, 720
+    # fixed-view size = the MVS render size (the same imgs/ are consumed by
+    # DeepMVSHair; reference hardcodes portrait 1280x720)
+    H, W = args.get("infer_inner", {}).get("render_size", (1280, 720))
     for i, (q, t, fov) in enumerate(zip(quats, trans, fovs)):
         c2w = ngp_pose_to_nerf_c2w(q, t)
         fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
@@ -91,7 +93,7 @@ def run_ngp_stage(args: Config) -> None:
                                  os.path.join(root, "ngp_video.mp4"))
 
     # mesh export: density grid -> marching tetrahedra -> base.obj (NeRF frame)
-    res = 256
+    res = int(args.get("ngp", {}).get("mesh_resolution", 256))
     bound = 1.5
     grid = density_grid(field, variables, res, bound=bound)
     thresh = float(args.get("ngp", {}).get("marching_cubes_density_thresh", 3.0))

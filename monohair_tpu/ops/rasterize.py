@@ -204,7 +204,15 @@ def rasterize_mesh_depth(cam: Cameras, vertices: np.ndarray, faces: np.ndarray,
     out = zbufs[0]
     for level in range(1, levels):
         up = jnp.repeat(jnp.repeat(zbufs[level], 2 ** level, 0), 2 ** level, 1)
-        out = jnp.minimum(out, up[:H, :W])
+        up = up[:H, :W]
+        # non-power-of-two sizes: (W // s) * s can fall short of W (e.g.
+        # 720 at level 5 -> 704); pad the uncovered edge strip with inf
+        # (level 0 always covers every pixel, so only conservative-z help
+        # from coarse levels is lost there)
+        ph, pw = H - up.shape[0], W - up.shape[1]
+        if ph or pw:
+            up = jnp.pad(up, ((0, ph), (0, pw)), constant_values=jnp.inf)
+        out = jnp.minimum(out, up)
     return out
 
 

@@ -151,6 +151,11 @@ def run_prepare_data(args: Config) -> None:
         # capture view (render_depth/<view>.npy) — prepare_data.py:161-176
         colmap_path = os.path.join(root, "ours/colmap_points.obj")
         cv_verts, cv_faces = load_obj(colmap_path)
+        if len(cv_verts) == 0:
+            raise RuntimeError(
+                f"{colmap_path} is empty — the coarse NeRF produced no "
+                "density above ngp.marching_cubes_density_thresh. Train "
+                "longer (ngp.train_steps) or lower the threshold.")
         cv_verts = cv_verts + BUST_TO_ORIGIN
         bust_path = os.path.join(root, "ours/bust_long_tsfm.obj")
         bust_v = bust_f = None

@@ -354,3 +354,23 @@ def test_full_loss_fit_recovers_similarity(rng):
     assert scale_err < 0.01, f"scale error {scale_err * 100:.2f}%, losses {losses}"
     transl_err = np.abs(np.asarray(params.global_transl) - true_transl).max()
     assert transl_err < 0.005, f"translation error {transl_err}"
+
+
+def test_fit_bust_full_survives_hostile_targets(rng):
+    """Garbage landmark targets (failed detectors) must not NaN the fit —
+    zero_nans + clipping keep params finite and the export usable."""
+    import jax.numpy as jnp
+    from monohair_tpu.bustfit.optimize import (FitTargets, fit_bust_full)
+    from monohair_tpu.bustfit.smplx import random_test_model
+    from tests.test_camera import make_cameras
+
+    model = random_test_model(rng, num_verts=48, num_joints=3)
+    cams = make_cameras(rng, num_views=2)
+    lmk_ids = np.linspace(0, 47, 68).astype(np.int64)
+    targets = FitTargets(lmk_px=jnp.asarray(
+        rng.normal(size=(2, 68, 2)).astype(np.float32) * 1e5))  # absurd
+    params, losses = fit_bust_full(model, cams, (64, 64), targets, lmk_ids,
+                                   iters=8)
+    import jax
+    for leaf in jax.tree_util.tree_leaves(params):
+        assert np.isfinite(np.asarray(leaf)).all()

@@ -112,3 +112,27 @@ def test_occupancy_grid_update_marks_density():
     rgb_o, _, op_o = render_rays_occ(field, variables, occ_grid, o, d,
                                      num_coarse=128, num_fine=64)
     assert np.abs(np.asarray(rgb_u) - np.asarray(rgb_o)).mean() < 0.08
+
+
+def test_ray_aabb_miss_keeps_gradients_finite(rng):
+    """Rays that miss the AABB must not produce negative deltas (exp overflow
+    -> NaN loss on far-orbit captures; glue-run regression)."""
+    import jax
+    import jax.numpy as jnp
+    from monohair_tpu.nerf.dense_grid import DenseGridConfig, DenseGridField
+    from monohair_tpu.nerf.ngp import ray_aabb, render_rays
+
+    o = jnp.asarray(np.tile([6.0, 0.5, 0.0], (8, 1)).astype(np.float32))
+    d = np.tile([0.0, 1.0, 0.0], (8, 1)).astype(np.float32)  # all miss
+    tmin, tmax = ray_aabb(o, jnp.asarray(d))
+    assert np.all(np.asarray(tmax) >= np.asarray(tmin))
+
+    field = DenseGridField(cfg=DenseGridConfig(resolutions=(8, 12),
+                                               features_per_level=2),
+                           hidden=8, geo_feat=3)
+    variables = field.init(jax.random.PRNGKey(0), jnp.zeros((4, 3)),
+                           jnp.zeros((4, 3)))
+    g = jax.grad(lambda v: jnp.sum(render_rays(
+        field, v, o, jnp.asarray(d), 8)[0]))(variables)
+    for leaf in jax.tree_util.tree_leaves(g):
+        assert np.isfinite(np.asarray(leaf)).all()

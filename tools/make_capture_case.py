@@ -248,6 +248,9 @@ data:
 camera_path: {calib_path}
 image_camera_path: ours/cam_params.json
 
+infer_inner:
+  render_size: [720, 1280]
+
 ngp:
   train_steps: 1500
   field: dense
