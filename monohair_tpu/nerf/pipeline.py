@@ -61,10 +61,17 @@ def run_ngp_stage(args: Config) -> None:
         field = DenseGridField()
     else:
         field, tv_weight = None, 0.0  # NGPField default (parity-study path)
+    # scan_block=1 for dense grids: the axon worker faults executing scanned
+    # dense-grid train steps (the grad scatter-add in the scan carry — see
+    # CLAUDE.md fault boundaries); single steps at the same size are stable
+    # and async dispatch still pipelines them.
+    scan_block = int(args.get("ngp", {}).get(
+        "scan_block", 1 if field_kind == "dense" else 4))
     field, variables, losses, occ_grid = train_nerf(
         ds, steps=steps, field=field, tv_weight=tv_weight,
         use_occupancy=bool(args.get("ngp", {}).get("use_occupancy", True)),
-        occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)))
+        occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)),
+        scan_block=scan_block, verbose=True, log_every=200)
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")
 
     # render the 16 fixed views (trainning_images/capture_images + imgs/origin)
