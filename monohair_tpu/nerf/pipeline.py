@@ -61,17 +61,18 @@ def run_ngp_stage(args: Config) -> None:
         field = DenseGridField()
     else:
         field, tv_weight = None, 0.0  # NGPField default (parity-study path)
-    # scan_block=1 for dense grids: the axon worker faults executing scanned
-    # dense-grid train steps (the grad scatter-add in the scan carry — see
-    # CLAUDE.md fault boundaries); single steps at the same size are stable
-    # and async dispatch still pipelines them.
-    scan_block = int(args.get("ngp", {}).get(
-        "scan_block", 1 if field_kind == "dense" else 4))
+    # scan_block=4 (CLAUDE.md: scan length 4 is the stable axon boundary;
+    # measured here: scan_block=1 single-step dispatch with donated dense-grid
+    # trees WEDGES the worker right after step 1 — the validated end-to-end
+    # run used 4-step blocks).
+    scan_block = int(args.get("ngp", {}).get("scan_block", 4))
     field, variables, losses, occ_grid = train_nerf(
         ds, steps=steps, field=field, tv_weight=tv_weight,
         use_occupancy=bool(args.get("ngp", {}).get("use_occupancy", True)),
         occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)),
-        scan_block=scan_block, verbose=True, log_every=200)
+        rays_per_batch=int(args.get("ngp", {}).get("rays_per_batch", 8192)),
+        scan_block=scan_block, verbose=True,
+        log_every=int(args.get("ngp", {}).get("log_every", 100)))
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")
 
     # render the 16 fixed views (trainning_images/capture_images + imgs/origin)
