@@ -7,8 +7,9 @@ Every stage of BASELINE.md's "full reconstruction" runs ON THE CHIP at
 big_wavy1-scale workloads (north star: < 10 min on one TPU v5e):
 
   stage0a coarse NeRF — dense-grid field (nerf/dense_grid.py) trained for the
-          pipeline budget (4000 steps at 8192 rays, 16 capture views at
-          1280x720); per-step cost measured as the difference of two training
+          pipeline budget (4000 steps at 4096 rays x 64 samples, the validated
+          axon-safe step shape, 16 capture views at 1280x720); per-step cost
+          measured as the difference of two training
           runs so compile/cache load cancels; plus the 16 fixed-view renders
           and the 256^3 density-grid export (run.py:181,272-305 equivalents)
   stage0b segmentation — MODNet matte + BiSeNet 3-scale/flip hair parse at
@@ -178,12 +179,15 @@ def bench_stage0a_nerf(rng):
 
     def run(steps):
         t0 = time.perf_counter()
-        # scan_block=1: the axon worker faults executing scanned dense-grid
-        # steps (the 268MB grad scatter-add in the scan carry); single steps
-        # at the same size are stable and async dispatch still pipelines
-        train_nerf(ds, steps=steps, rays_per_batch=8192,
+        # The validated end-to-end configuration (configs/reconstruct/
+        # bigsynth.yaml): 4096x64 = 262k differentiated samples/step — half
+        # of every documented axon fault boundary; uniform sampling avoids
+        # the 1.05M-sample hierarchical step at 8192 rays, and scan_block=4
+        # is the stable dispatch shape (1-step donated blocks wedge the
+        # worker, >= 8-step scans kernel-fault).
+        train_nerf(ds, steps=steps, rays_per_batch=4096,
                    field=DenseGridField(), tv_weight=1e-4,
-                   use_occupancy=True, occ_warmup=32, scan_block=1,
+                   use_occupancy=False, scan_block=4,
                    log_every=steps)
         return time.perf_counter() - t0
     t_small, n_small = run(64), 64
