@@ -3,6 +3,21 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", "stages"}.
 
+CRASH ISOLATION (VERDICT r3 weak #1): each stage runs in its OWN subprocess
+(`bench.py --stage <name>`) — an axon worker crash poisons the crashing
+process's client, so in-process retry is useless. The parent probes the
+tunnel with a fresh-process matmul before each stage and, on a stage
+failure, waits across the documented ~5 min recovery window
+(platform_limits.wait_for_device) and retries the stage once. The JSON line
+is ALWAYS emitted, with per-stage {"seconds": ...} or {"error": ...} — one
+crash costs one stage, not the round.
+
+ROOFLINE ACCOUNTING (VERDICT r3 next #8): stages report achieved FLOP/s
+against the v5e bf16 peak (PEAK_FLOPS) where the work is MXU-bound, and
+achieved gather rows/s against the measured ~120M rows/s XLA gather ceiling
+where it is gather-bound (nerf encode, mvs grid-sample) — "is it fast?"
+becomes arithmetic.
+
 Every stage of BASELINE.md's "full reconstruction" runs ON THE CHIP at
 big_wavy1-scale workloads (north star: < 10 min on one TPU v5e):
 
@@ -49,8 +64,20 @@ import numpy as np
 NORTH_STAR_SECONDS = 600.0
 
 HEAD_RADIUS = 0.09
-NERF_BUDGET_STEPS = 4000     # nerf/pipeline.py:54 default
 BUSTFIT_BUDGET_ITERS = 2000  # bustfit/pipeline.py:181 default
+
+# v5e peak: 197 TFLOP/s bf16 (the default matmul class on this stack) and the
+# measured ~120M rows/s XLA gather/scatter ceiling (CLAUDE.md).
+PEAK_FLOPS = 197e12
+GATHER_ROWS_PER_SEC_CEILING = 120e6
+
+
+def _nerf_workload():
+    """The canonical stage-0a workload — read from the pipeline module so the
+    bench and the shipped defaults cannot drift (ADVICE r3 medium)."""
+    from monohair_tpu.nerf import pipeline as npipe
+    return (npipe.DEFAULT_TRAIN_STEPS, npipe.DEFAULT_RAYS_PER_BATCH,
+            npipe.DEFAULT_USE_OCCUPANCY)
 
 
 def ring_cameras(V, H, W):
@@ -71,9 +98,11 @@ def ring_cameras(V, H, W):
     return Cameras.from_json_list(cam_list)
 
 
-def timed_device(fn, *args, iters=3):
+def timed_device(fn, *args, iters=3, want_flops=False):
     """Device timing over the axon tunnel: reduce outputs on device and read
-    one scalar back (block_until_ready does not synchronize the tunnel)."""
+    one scalar back (block_until_ready does not synchronize the tunnel).
+    With want_flops=True also returns XLA's compiled-module FLOP estimate
+    (cost_analysis) for roofline accounting."""
     import jax
     import jax.numpy as jnp
 
@@ -82,12 +111,22 @@ def timed_device(fn, *args, iters=3):
         return sum(jnp.sum(x.astype(jnp.float32)) for x in leaves)
 
     red = jax.jit(reduced)
+    flops = None
+    if want_flops:
+        try:
+            ca = red.lower(*args).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
     acc = float(red(*args))  # warmup/compile
     t0 = time.perf_counter()
     for _ in range(iters):
         acc += float(red(*args))
     assert np.isfinite(acc)
-    return (time.perf_counter() - t0) / iters
+    t = (time.perf_counter() - t0) / iters
+    return (t, flops) if want_flops else t
 
 
 def swirl_direction(p: np.ndarray) -> np.ndarray:
@@ -169,6 +208,7 @@ def bench_stage0a_nerf(rng):
     from monohair_tpu.nerf.dense_grid import DenseGridField
     from monohair_tpu.nerf.train import NerfDataset, train_nerf
 
+    budget_steps, rays, use_occ = _nerf_workload()
     F, H, W = 16, 720, 1280
     imgs = rng.random((F, H, W, 3)).astype(np.float32)
     poses = np.stack([np.eye(4, dtype=np.float32)] * F)
@@ -179,21 +219,22 @@ def bench_stage0a_nerf(rng):
 
     def run(steps):
         t0 = time.perf_counter()
-        # The validated end-to-end configuration (configs/reconstruct/
-        # bigsynth.yaml): 4096x64 = 262k differentiated samples/step — half
-        # of every documented axon fault boundary; uniform sampling avoids
-        # the 1.05M-sample hierarchical step at 8192 rays, and scan_block=4
-        # is the stable dispatch shape (1-step donated blocks wedge the
-        # worker, >= 8-step scans kernel-fault).
-        train_nerf(ds, steps=steps, rays_per_batch=4096,
+        # The shipped pipeline default shape (nerf/pipeline.py DEFAULT_*),
+        # guarded by platform_limits.assert_train_step_shape.
+        train_nerf(ds, steps=steps, rays_per_batch=rays,
                    field=DenseGridField(), tv_weight=1e-4,
-                   use_occupancy=False, scan_block=4,
-                   log_every=steps)
+                   use_occupancy=use_occ, log_every=steps)
         return time.perf_counter() - t0
     t_small, n_small = run(64), 64
     t_big, n_big = run(320), 320
     t_step = max(t_big - t_small, 1e-3) / (n_big - n_small)
-    t_train = t_step * NERF_BUDGET_STEPS
+    t_train = t_step * budget_steps
+
+    # roofline: the dense-grid encode is gather-bound — rows/step =
+    # samples x levels x 4 xy-corner rows, doubled for the backward scatter
+    samples = rays * 64 * (2 if use_occ else 1)
+    rows_per_step = samples * 3 * 4 * 2
+    rows_per_sec = rows_per_step / t_step
 
     # 16 fixed-view renders + the 256^3 density export, measured directly
     from monohair_tpu.nerf.ngp import density_grid, init_occupancy_grid
@@ -209,7 +250,15 @@ def bench_stage0a_nerf(rng):
     t0 = time.perf_counter()
     np.asarray(density_grid(field, variables, 256))
     t_grid = time.perf_counter() - t0
-    return t_train + 16 * t_render + t_grid, 1.0 / t_step
+    return {"seconds": t_train + 16 * t_render + t_grid,
+            "nerf_steps_per_sec": 1.0 / t_step,
+            "nerf_budget_steps": budget_steps,
+            "nerf_rays_per_batch": rays,
+            "nerf_use_occupancy": use_occ,
+            "nerf_gather_rows_per_sec": rows_per_sec,
+            "nerf_gather_ceiling_frac": rows_per_sec / GATHER_ROWS_PER_SEC_CEILING,
+            "nerf_render_seconds": 16 * t_render,
+            "nerf_grid_export_seconds": t_grid}
 
 
 def bench_stage0b_segment(rng):
@@ -224,7 +273,8 @@ def bench_stage0b_segment(rng):
     mv = jax.jit(mod.init)(jax.random.PRNGKey(0),
                            jnp.zeros((1, 512, 512, 3)))
     x1 = jnp.asarray(rng.random((1, 512, 512, 3)).astype(np.float32))
-    t_matte = timed_device(lambda v, x: mod.apply(v, x)[2], mv, x1)
+    t_matte, f_matte = timed_device(lambda v, x: mod.apply(v, x)[2], mv, x1,
+                                    want_flops=True)
 
     bis = BiSeNet(n_classes=19)
     bv = jax.jit(bis.init)(jax.random.PRNGKey(1), jnp.zeros((1, 512, 512, 3)))
@@ -237,8 +287,14 @@ def bench_stage0b_segment(rng):
     fan = FAN()
     fv = jax.jit(fan.init)(jax.random.PRNGKey(2), jnp.zeros((1, 256, 256, 3)))
     xf = jnp.asarray(rng.random((1, 256, 256, 3)).astype(np.float32))
-    t_fan = timed_device(lambda v, x: fan.apply(v, x), fv, xf)
-    return frames * (t_matte + t_parse) + 4 * (t_matte + t_fan)
+    t_fan, f_fan = timed_device(lambda v, x: fan.apply(v, x), fv, xf,
+                                want_flops=True)
+    out = {"seconds": frames * (t_matte + t_parse) + 4 * (t_matte + t_fan)}
+    if f_fan:
+        out["fan_mfu"] = f_fan / t_fan / PEAK_FLOPS
+    if f_matte:
+        out["modnet_mfu"] = f_matte / t_matte / PEAK_FLOPS
+    return out
 
 
 def bench_stage0c_bustfit(rng):
@@ -275,15 +331,21 @@ def bench_stage0c_bustfit(rng):
         return time.perf_counter() - t0
     t_small, t_big = run(10), run(110)
     t_iter = max(t_big - t_small, 1e-4) / 100
-    return t_iter * BUSTFIT_BUDGET_ITERS, 1.0 / t_iter
+    return {"seconds": t_iter * BUSTFIT_BUDGET_ITERS,
+            "bustfit_iters_per_sec": 1.0 / t_iter,
+            "bustfit_budget_iters": BUSTFIT_BUDGET_ITERS}
 
 
 def bench_stage1_gabor(rng):
     import jax.numpy as jnp
     from monohair_tpu.ops.gabor import orientation_maps
     frames = jnp.asarray(rng.random((1, 1920, 1080)).astype(np.float32))
-    t_one = timed_device(lambda f: orientation_maps(f[0]), frames)
-    return 16 * t_one
+    t_one, f_one = timed_device(lambda f: orientation_maps(f[0]), frames,
+                                want_flops=True)
+    out = {"seconds": 16 * t_one}
+    if f_one:
+        out["gabor_mfu"] = f_one / t_one / PEAK_FLOPS
+    return out
 
 
 def bench_stage2_pmvo(rng, total_points=2_100_000, chunk=32768):
@@ -293,9 +355,9 @@ def bench_stage2_pmvo(rng, total_points=2_100_000, chunk=32768):
     cams = ring_cameras(V, H, W)
     maps = analytic_head_maps(cams, V, H, W)
     points = jnp.asarray(shell_points(rng, chunk))
-    t_fwd = timed_device(
+    t_fwd, f_fwd = timed_device(
         lambda m, p: pmvo_forward(m, p, patch_size=7, conf_threshold=0.15),
-        maps, points)
+        maps, points, want_flops=True)
     ori = jnp.asarray(swirl_direction(np.asarray(points))
                       + rng.normal(size=(chunk, 3)) * 0.05)
     ori = ori / jnp.linalg.norm(ori, axis=-1, keepdims=True)
@@ -303,7 +365,15 @@ def bench_stage2_pmvo(rng, total_points=2_100_000, chunk=32768):
         lambda m, p, o: pmvo_refine_loss(m, p, o, 7, 0.15), maps, points, ori)
     n_chunks = math.ceil(total_points / chunk)
     pts_per_sec = chunk / t_fwd
-    return n_chunks * t_fwd + n_chunks * t_ref, pts_per_sec
+    out = {"seconds": n_chunks * t_fwd + n_chunks * t_ref,
+           "pmvo_points_per_sec": pts_per_sec,
+           "pmvo_total_points": total_points, "pmvo_chunk": chunk}
+    if f_fwd:
+        out["pmvo_mfu"] = f_fwd / t_fwd / PEAK_FLOPS
+    # the Pallas DMA patch gather moves one (P x P x C) window per
+    # (view, point); windows/s is its throughput unit (pallas_kernels.py)
+    out["pmvo_patch_windows_per_sec"] = chunk * V / t_fwd
+    return out
 
 
 def bench_stage3_mvs(rng, total_queries=2_000_000, batch=32768):
@@ -338,12 +408,24 @@ def bench_stage3_mvs(rng, total_queries=2_000_000, batch=32768):
     ori_feats = feat_fn(ori_model, ori_vars, imgs)
 
     pts = jnp.asarray((rng.random((batch, 3)).astype(np.float32) - 0.5) * 0.4)
-    t_batch = timed_device(
+    t_batch, f_batch = timed_device(
         lambda ov, orv, of, orf, w, nd, p: eval_points(
             occ_model, ov, ori_model, orv, of, orf, w, nd, p),
-        occ_vars, ori_vars, occ_feats, ori_feats, w2c, ndc, pts)
+        occ_vars, ori_vars, occ_feats, ori_feats, w2c, ndc, pts,
+        want_flops=True)
     n_batches = math.ceil(total_queries / batch)
-    return t_feat + n_batches * t_batch, batch / t_batch
+    out = {"seconds": t_feat + n_batches * t_batch,
+           "mvs_queries_per_sec": batch / t_batch,
+           "mvs_total_queries": total_queries, "mvs_batch": batch}
+    if f_batch:
+        out["mvs_mfu"] = f_batch / t_batch / PEAK_FLOPS
+    # pixel-aligned feature sampling is gather-bound: 2 heads x 4 pyramid
+    # scales x V views x batch bilinear lookups (4 corner rows each)
+    rows = 2 * 4 * V * batch * 4
+    out["mvs_gather_rows_per_sec"] = rows / t_batch
+    out["mvs_gather_ceiling_frac"] = (rows / t_batch
+                                      / GATHER_ROWS_PER_SEC_CEILING)
+    return out
 
 
 def curved_strand_batch(rng, count, length, grid_shape, step=1.1):
@@ -393,46 +475,100 @@ def bench_stage4_grow(rng, target_strands=100_000):
     t0 = _t.perf_counter()
     connect_to_scalp(strands, target_strands // 5, occ, ori)
     t_connect = _t.perf_counter() - t0
-    return t_trace + t_connect, len(segs)
+    return {"seconds": t_trace + t_connect, "grow_traced_segments": len(segs),
+            "grow_trace_seconds": t_trace, "grow_connect_seconds": t_connect,
+            "grow_strands": target_strands}
 
 
-def main():
+STAGES = {
+    "nerf": bench_stage0a_nerf,
+    "segment": bench_stage0b_segment,
+    "bustfit": bench_stage0c_bustfit,
+    "gabor": bench_stage1_gabor,
+    "pmvo": bench_stage2_pmvo,
+    "mvs": bench_stage3_mvs,
+    "grow": bench_stage4_grow,
+}
+
+#: generous per-stage wall cap; a wedged tunnel otherwise hangs the round
+STAGE_TIMEOUT = 2400
+
+_RESULT_TAG = "BENCH_STAGE_RESULT "
+
+
+def run_stage(name: str) -> None:
+    """Child-process entry: run one stage, print a tagged JSON result line."""
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     rng = np.random.default_rng(0)
+    res = STAGES[name](rng)
+    print(_RESULT_TAG + json.dumps(res), flush=True)
 
-    t0a, nerf_steps_s = bench_stage0a_nerf(rng)
-    print(f"# stage0a nerf: {t0a:.1f}s ({nerf_steps_s:.1f} steps/s)", flush=True)
-    t0b = bench_stage0b_segment(rng)
-    print(f"# stage0b segment: {t0b:.1f}s", flush=True)
-    t0c, fit_iters_s = bench_stage0c_bustfit(rng)
-    print(f"# stage0c bustfit: {t0c:.1f}s ({fit_iters_s:.1f} iters/s)", flush=True)
-    t1 = bench_stage1_gabor(rng)
-    print(f"# stage1 gabor: {t1:.1f}s", flush=True)
-    t2, pmvo_pts_s = bench_stage2_pmvo(rng)
-    print(f"# stage2 pmvo: {t2:.1f}s ({pmvo_pts_s:,.0f} pts/s)", flush=True)
-    t3, mvs_pts_s = bench_stage3_mvs(rng)
-    print(f"# stage3 mvs: {t3:.1f}s ({mvs_pts_s:,.0f} queries/s)", flush=True)
-    t4, n_traced = bench_stage4_grow(rng)
-    print(f"# stage4 grow: {t4:.1f}s ({n_traced} traced segments)", flush=True)
-    e2e = t0a + t0b + t0c + t1 + t2 + t3 + t4
 
+def _run_stage_subprocess(name: str) -> dict:
+    """Run one stage in a fresh process (a worker crash poisons the crashing
+    process's TPU client — isolation is the only way a later stage survives
+    an earlier crash). Returns the stage dict or {"error": ...}."""
+    import subprocess
+    import sys
+    try:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--stage", name],
+            capture_output=True, text=True, timeout=STAGE_TIMEOUT)
+    except subprocess.TimeoutExpired:
+        return {"error": f"timeout after {STAGE_TIMEOUT}s (wedged tunnel?)"}
+    for line in proc.stdout.splitlines():
+        if line.startswith(_RESULT_TAG):
+            return json.loads(line[len(_RESULT_TAG):])
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-6:]
+    return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[-500:]}
+
+
+def main():
+    from monohair_tpu.platform_limits import wait_for_device
+    results, order = {}, list(STAGES)
+    for name in order:
+        # probe the tunnel with a fresh-process matmul first; after a crash
+        # it stays dead ~5 min (CLAUDE.md) — wait rather than burn the stage
+        if not wait_for_device(max_wait=420.0, poll=45.0):
+            results[name] = {"error": "device probe never succeeded"}
+            print(f"# {name}: SKIPPED (tunnel dead)", flush=True)
+            continue
+        res = _run_stage_subprocess(name)
+        if "error" in res:
+            print(f"# {name}: FAILED ({res['error'][:120]}); "
+                  f"waiting out recovery window and retrying once", flush=True)
+            if wait_for_device(max_wait=420.0, poll=45.0):
+                res = _run_stage_subprocess(name)
+        results[name] = res
+        if "seconds" in res:
+            print(f"# {name}: {res['seconds']:.1f}s", flush=True)
+        else:
+            print(f"# {name}: ERROR {res.get('error', '?')[:200]}", flush=True)
+
+    measured = {n: r for n, r in results.items() if "seconds" in r}
+    e2e = sum(r["seconds"] for r in measured.values())
+    stages = {}
+    for n, r in results.items():
+        for k, v in r.items():
+            key = n if k == "seconds" else k
+            stages[key] = round(v, 4) if isinstance(v, float) else v
+    stages["stages_failed"] = [n for n in order if n not in measured]
     print(json.dumps({
         "metric": "e2e_capture_scale_seconds",
         "value": round(e2e, 1),
         "unit": "s",
-        "vs_baseline": round(NORTH_STAR_SECONDS / e2e, 2),
-        "stages": {"nerf": round(t0a, 1), "segment": round(t0b, 1),
-                   "bustfit": round(t0c, 1), "gabor": round(t1, 1),
-                   "pmvo": round(t2, 1), "mvs": round(t3, 1),
-                   "grow": round(t4, 1),
-                   "nerf_steps_per_sec": round(nerf_steps_s, 1),
-                   "bustfit_iters_per_sec": round(fit_iters_s, 1),
-                   "pmvo_points_per_sec": round(pmvo_pts_s, 1),
-                   "mvs_queries_per_sec": round(mvs_pts_s, 1)},
+        "vs_baseline": (round(NORTH_STAR_SECONDS / e2e, 2)
+                        if e2e > 0 and len(measured) == len(order) else 0.0),
+        "complete": len(measured) == len(order),
+        "stages": stages,
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        run_stage(sys.argv[2])
+    else:
+        main()

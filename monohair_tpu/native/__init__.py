@@ -29,7 +29,8 @@ def _build() -> Optional[ctypes.CDLL]:
         if (not os.path.exists(lib_path)
                 or any(os.path.getmtime(lib_path) < os.path.getmtime(s)
                        for s in srcs)):
-            subprocess.run(["g++", "-O3", "-march=native", "-shared", "-fPIC",
+            subprocess.run(["g++", "-O3", "-march=native", "-fopenmp",
+                            "-shared", "-fPIC",
                             "-o", lib_path] + srcs, check=True,
                            capture_output=True)
         lib = ctypes.CDLL(lib_path)

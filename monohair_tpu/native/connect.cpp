@@ -13,6 +13,13 @@
 //   hundred points — a tree would be slower than the SIMD loop);
 // - RNG is an xorshift; the Python uses numpy Generator. Jitter draws are
 //   not bit-matched (they only fire on failed occupancy validation).
+// - pending strands within a round are INDEPENDENT (the core set and every
+//   value they read — strands[nj], out_ratio[nj], root_flag — is snapshotted
+//   before the round; each iteration writes only its own strand's state), so
+//   the round loop runs under OpenMP. Jitter RNG is seeded per (strand,
+//   round) so results are deterministic under any thread schedule and
+//   identical to the serial build. (This bench host has 1 core — the win
+//   shows on multi-core deployment hosts; OMP_NUM_THREADS governs.)
 //
 // Exported C ABI (ctypes): cts_run / cts_fetch / cts_free.
 
@@ -22,6 +29,10 @@
 #include <vector>
 #include <algorithm>
 #include <unordered_map>
+
+#ifdef _OPENMP
+#include <omp.h>
+#endif
 
 namespace {
 
@@ -153,7 +164,7 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
               double max_thr_dist, double min_thr_dot, int64_t jitter_retries,
               uint64_t seed, int64_t* out_n_strands, int64_t* out_n_points) {
     OccGrids g{occ, ori, r0, r1, r2};
-    Rng rng(seed);
+    uint64_t round_no = 0;
 
     std::vector<Strand> strands(n_strands);
     for (int64_t i = 0; i < n_strands; i++) {
@@ -209,11 +220,27 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
         // distinct neighbor strand ids; core points are concatenated in
         // ascending strand order, so "ascending point index" (the Python's
         // ball-query order) collapses to "ascending strand id" — dedupe with
-        // an O(1) flag array instead of sorting thousands of point indices
-        std::vector<int32_t> nei_sids;
-        std::vector<uint8_t> sid_seen(n_strands, 0);
+        // an O(1) flag array instead of sorting thousands of point indices.
+        // One scratch pair per thread (allocated once per round).
+        int nthreads = 1;
+#ifdef _OPENMP
+        nthreads = omp_get_max_threads();
+#endif
+        std::vector<std::vector<int32_t>> nei_buf(nthreads);
+        std::vector<std::vector<uint8_t>> seen_buf(
+            nthreads, std::vector<uint8_t>(n_strands, 0));
 
-        for (int64_t i : pending) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 16)
+#endif
+        for (int64_t pi = 0; pi < (int64_t)pending.size(); pi++) {
+            int64_t i = pending[pi];
+            int tid = 0;
+#ifdef _OPENMP
+            tid = omp_get_thread_num();
+#endif
+            std::vector<int32_t>& nei_sids = nei_buf[tid];
+            std::vector<uint8_t>& sid_seen = seen_buf[tid];
             std::vector<V3>& strand = strands[i].pts;
             // <2-point strands stay pending forever and are dropped from the
             // output, matching the Python path (which never attaches them).
@@ -315,6 +342,9 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
             occupancy_stats(g, joined, plen, &in_ratio, &sim, &in_bounds);
             bool ok = in_bounds && in_ratio > out_ratio_threshold && sim > 0.3;
             if (!ok && in_bounds) {
+                // per-(strand, round) stream: thread-schedule independent
+                Rng rng(seed ^ (0x9E3779B97F4A7C15ull * (uint64_t)(i + 1))
+                             ^ (round_no << 32));
                 for (int64_t t = 0; t < jitter_retries; t++) {
                     V3 jit = {rng.uniform() * 0.5, rng.uniform() * 0.5,
                               rng.uniform() * 0.5};
@@ -335,6 +365,7 @@ void* cts_run(const double* points, const int64_t* offsets, int64_t n_strands,
             if (ok) root_flag[i] = 1; else out_root_flag[i] = 1;
         }
 
+        round_no++;
         int64_t new_good = 0;
         for (int64_t i = 0; i < n_strands; i++) new_good += root_flag[i];
         if (new_good - num_good > progress_quota) continue;

@@ -86,13 +86,11 @@ def grid_encode_level(grid_zf: jnp.ndarray, points01: jnp.ndarray,
     return out
 
 
-# The axon TPU runtime faults ("worker crashed, kernel fault") executing a
-# single scatter-add over ~4M rows — the backward of the 4N-row gather at
-# N >= 1.05M points; N = 524k (2.1M rows) executes fine
-# (tools/debug_dense_step2.py bisect, 2026-08). Chunking the point axis keeps
-# every gather AND its backward scatter under the known-good size. Chunk count
-# is static (shapes are traced), so jit sees a short unrolled loop.
-ENCODE_CHUNK = 262144
+# Chunking the point axis keeps every gather AND its backward scatter-add
+# under the axon fault boundary (platform_limits.MAX_SCATTER_ROWS; bisect in
+# tools/debug_dense_step2.py). Chunk count is static (shapes are traced), so
+# jit sees a short unrolled loop.
+from ..platform_limits import ENCODE_CHUNK
 
 
 def grid_encode(grids, points01: jnp.ndarray, cfg: DenseGridConfig

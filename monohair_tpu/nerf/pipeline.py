@@ -43,6 +43,16 @@ def render_camera_path_video(field, variables, base_cam_path: str, out_path: str
     writer.release()
 
 
+# Canonical stage-0a workload (single source of truth — bench.py reads these
+# so the measured path and the shipped default path cannot drift; ADVICE r3).
+# 4096 rays keeps every step shape inside platform_limits.MAX_DIFF_SAMPLES:
+# uniform 4096x64 = 262k, hierarchical 4096x(64+64) = 524k (the measured-good
+# boundary).
+DEFAULT_TRAIN_STEPS = 4000
+DEFAULT_RAYS_PER_BATCH = 4096
+DEFAULT_USE_OCCUPANCY = False
+
+
 def run_ngp_stage(args: Config) -> None:
     root = args.data.root
     colmap_dir = os.path.join(root, "colmap")
@@ -51,7 +61,7 @@ def run_ngp_stage(args: Config) -> None:
 
     ds = load_nerf_dataset(os.path.join(colmap_dir, "transforms.json"),
                            os.path.join(colmap_dir, "images"))
-    steps = int(args.get("ngp", {}).get("train_steps", 4000))
+    steps = int(args.get("ngp", {}).get("train_steps", DEFAULT_TRAIN_STEPS))
     field_kind = str(args.get("ngp", {}).get("field", "dense"))
     tv_weight = float(args.get("ngp", {}).get("tv_weight", 1e-4))
     if field_kind == "dense":
@@ -68,9 +78,11 @@ def run_ngp_stage(args: Config) -> None:
     scan_block = int(args.get("ngp", {}).get("scan_block", 4))
     field, variables, losses, occ_grid = train_nerf(
         ds, steps=steps, field=field, tv_weight=tv_weight,
-        use_occupancy=bool(args.get("ngp", {}).get("use_occupancy", True)),
+        use_occupancy=bool(args.get("ngp", {}).get("use_occupancy",
+                                                   DEFAULT_USE_OCCUPANCY)),
         occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)),
-        rays_per_batch=int(args.get("ngp", {}).get("rays_per_batch", 8192)),
+        rays_per_batch=int(args.get("ngp", {}).get("rays_per_batch",
+                                                   DEFAULT_RAYS_PER_BATCH)),
         scan_block=scan_block, verbose=True,
         log_every=int(args.get("ngp", {}).get("log_every", 100)))
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")

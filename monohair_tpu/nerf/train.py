@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from .. import platform_limits
 from .ngp import (NGPField, camera_rays, init_occupancy_grid, render_rays,
                   render_rays_occ, update_occupancy_grid)
 
@@ -60,14 +61,17 @@ def load_nerf_dataset(transforms_path: str, image_root: str,
                        fx=fx, fy=fy, cx=cx, cy=cy)
 
 
-def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
+def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
                lr: float = 1e-2, seed: int = 0, log_every: int = 500,
                field: Optional[NGPField] = None, use_occupancy: bool = True,
                occ_resolution: int = 128, occ_update_every: int = 16,
                occ_warmup: int = 256, num_samples: int = 64,
-               num_fine: int = 64, scan_block: int = 4, verbose: bool = False,
+               num_fine: int = 64,
+               scan_block: int = platform_limits.MAX_TRAIN_SCAN,
+               verbose: bool = False,
                tv_weight: float = 0.0, use_remat: Optional[bool] = None,
-               sync_every: int = 4):
+               sync_every: int = platform_limits.SYNC_EVERY_BLOCKS,
+               mesh=None, param_dtype=None):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -76,17 +80,22 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
     The whole loop is device-resident: images sit in HBM as uint8, ray
     sampling uses jax.random inside jit, and lax.scan runs `scan_block`
     optimizer steps per device call. Dispatch is async (the host only syncs
-    at log points), so blocks pipeline over the axon tunnel; scan_block
-    stays small because the axon worker crashes executing step-scans of
-    length >= 8 at capture-scale ray batches (empirically: 4 ok, 8 faults,
-    single grad steps at the same size fine).
+    at log points), so blocks pipeline over the axon tunnel. Shapes are
+    guarded against the axon fault boundaries centralized in
+    monohair_tpu/platform_limits.py (scan length, differentiated-sample
+    count, runahead sync depth, remat).
 
-    rays_per_batch * num_samples (and * num_fine) must stay <= ~524k: the
-    axon runtime kernel-faults executing the backward of a train step whose
-    differentiated sample count reaches 1.05M, regardless of how the encode
-    gathers are chunked (tools/debug_dense_step3.py bisect). The defaults
-    (8192 x 64) sit exactly at the known-good boundary."""
+    With `mesh` (a 1-D jax.sharding.Mesh over axis "data"), the ray batch is
+    sharded over devices and parameters stay replicated — XLA psums the
+    gradients over ICI; semantics are identical to single-device (pinned by
+    __graft_entry__.dryrun_multichip section 'nerf-train')."""
     field = field or NGPField()
+    # occupancy-guided steps only differentiate the num_fine MLP samples
+    # (coarse placement reads the precomputed occ grid, ngp.py:302-322);
+    # uniform steps differentiate num_samples.
+    platform_limits.assert_train_step_shape(
+        rays_per_batch, num_fine if use_occupancy else num_samples,
+        0, scan_block, what="train_nerf")
     if use_remat is None:
         # remat trades the hash encode's multi-GB residuals for recompute;
         # for the dense grid it is BOTH unnecessary (row-gather residuals are
@@ -164,6 +173,19 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 8192,
             d = jnp.einsum("snij,snj->sni", c2w[..., :3, :3], dirs)
             d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
             o = c2w[..., :3, 3]
+            if mesh is not None:
+                # data-parallel: rays sharded over the mesh, params/grids
+                # replicated; XLA inserts the grad psum over ICI.
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                ray_s = NamedSharding(mesh, P(None, "data"))
+                rep = NamedSharding(mesh, P())
+                shard = lambda t, s: jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(a, s), t)
+                o, d, target = (shard(o, ray_s), shard(d, ray_s),
+                                shard(target, ray_s))
+                variables, opt_state, grid = (shard(variables, rep),
+                                              shard(opt_state, rep),
+                                              shard(grid, rep))
             (variables, opt_state, grid), losses = jax.lax.scan(
                 body, (variables, opt_state, grid),
                 (o, d, target, jax.random.split(k_r, n_sub)))

@@ -157,3 +157,46 @@ def test_connect_to_scalp_scale_and_time():
     assert len(out) > 0.5 * len(strands), f"only {len(out)} attached"
     # attached strands must start at/near a good strand and keep finite coords
     assert all(np.isfinite(s).all() for s in out)
+
+
+def test_connect_to_scalp_thread_count_invariant(tmp_path):
+    """The OpenMP round loop (connect.cpp) must produce identical output under
+    any thread count: jitter RNG is per-(strand, round), every intra-round
+    read is from the round-start snapshot. Runs the kernel in subprocesses
+    with OMP_NUM_THREADS=1 and =4 and compares bit-exactly."""
+    import os
+    import subprocess
+    import sys
+
+    occ, ori, good, loose = _scalp_case()
+    # widen the case so the parallel loop actually has work
+    rng = np.random.default_rng(3)
+    strands = [good, loose]
+    for _ in range(60):
+        x, z = rng.uniform(4, 20), rng.uniform(4, 20)
+        y0 = rng.uniform(22, 30)
+        ys = np.linspace(y0, y0 + 8, 9)
+        strands.append(np.stack([np.full_like(ys, x), ys,
+                                 np.full_like(ys, z)], -1))
+    case = tmp_path / "case.npz"
+    np.savez(case, occ=occ, ori=ori,
+             **{f"s{i}": s for i, s in enumerate(strands)})
+    script = tmp_path / "run.py"
+    script.write_text(
+        "import sys, numpy as np\n"
+        f"sys.path.insert(0, {repr(os.getcwd())})\n"
+        "from monohair_tpu.strands.connect import connect_to_scalp\n"
+        "d = np.load(sys.argv[1])\n"
+        "ss = [d[f's{i}'] for i in range(len(d.files) - 2)]\n"
+        "out = connect_to_scalp(ss, 1, d['occ'], d['ori'], use_native=True)\n"
+        "np.savez(sys.argv[2], **{f'o{i}': s for i, s in enumerate(out)})\n")
+    outs = []
+    for nt in ("1", "4"):
+        out_path = tmp_path / f"out{nt}.npz"
+        env = dict(os.environ, OMP_NUM_THREADS=nt)
+        subprocess.run([sys.executable, str(script), str(case),
+                        str(out_path)], check=True, env=env, timeout=300)
+        outs.append(np.load(out_path))
+    assert outs[0].files == outs[1].files
+    for k in outs[0].files:
+        np.testing.assert_array_equal(outs[0][k], outs[1][k])

@@ -1,0 +1,62 @@
+"""Pin the centralized axon fault boundaries (VERDICT r3 weak #6): these
+constants are load-bearing bisect results — drift means crashes."""
+
+import pytest
+
+from monohair_tpu import platform_limits as pl
+
+
+def test_constants_pinned():
+    assert pl.MAX_SCATTER_ROWS == 2 * 1024 * 1024
+    assert pl.MAX_DIFF_SAMPLES == 524288
+    assert pl.MAX_TRAIN_SCAN == 4
+    assert pl.SYNC_EVERY_BLOCKS == 4
+    assert pl.ENCODE_CHUNK == 262144
+    assert pl.DENSE_GRID_REMAT_SAFE is False
+    # dense_grid must consume the shared constant, not a local copy
+    from monohair_tpu.nerf import dense_grid
+    assert dense_grid.ENCODE_CHUNK is pl.ENCODE_CHUNK
+
+
+def test_guard_accepts_validated_shapes():
+    # uniform 4096x64 (the validated e2e shape) and the 8192x64 boundary
+    pl.assert_train_step_shape(4096, 64, 0, scan_block=4)
+    pl.assert_train_step_shape(8192, 64, 0, scan_block=4)
+    # hierarchical 4096x(64+64) sits exactly AT the boundary
+    pl.assert_train_step_shape(4096, 64, 64, scan_block=4)
+
+
+def test_guard_rejects_fault_shapes():
+    # the r3 bench fault: 8192 rays hierarchical = 1.05M differentiated
+    with pytest.raises(ValueError, match="differentiated samples"):
+        pl.assert_train_step_shape(8192, 64, 64)
+    with pytest.raises(ValueError, match="scan_block"):
+        pl.assert_train_step_shape(1024, 64, 0, scan_block=8)
+
+
+def test_train_nerf_guards_at_entry():
+    """train_nerf must fail fast on a faulting shape, before any tracing."""
+    import numpy as np
+    from monohair_tpu.nerf.train import NerfDataset, train_nerf
+    ds = NerfDataset(np.zeros((1, 8, 8, 3), np.float32),
+                     np.stack([np.eye(4, dtype=np.float32)]),
+                     8.0, 8.0, 4.0, 4.0)
+    # uniform sampling at 16384x64 = 1.05M differentiated -> reject
+    with pytest.raises(ValueError, match="differentiated samples"):
+        train_nerf(ds, steps=1, rays_per_batch=16384, num_samples=64,
+                   use_occupancy=False)
+    # occupancy steps differentiate only num_fine: 8192x128 fine -> reject
+    with pytest.raises(ValueError, match="differentiated samples"):
+        train_nerf(ds, steps=1, rays_per_batch=8192, num_samples=64,
+                   num_fine=128, use_occupancy=True)
+
+
+def test_chunk_count():
+    assert pl.chunk_count(1) == 1
+    assert pl.chunk_count(pl.ENCODE_CHUNK) == 1
+    assert pl.chunk_count(pl.ENCODE_CHUNK + 1) == 2
+
+
+def test_probe_device_runs():
+    # Pin the probe subprocess to CPU (the test env has no live tunnel).
+    assert pl.probe_device(timeout=120.0, platform="cpu")
