@@ -531,7 +531,7 @@ def main():
     for name in order:
         # probe the tunnel with a fresh-process matmul first; after a crash
         # it stays dead ~5 min (CLAUDE.md) — wait rather than burn the stage
-        if not wait_for_device(max_wait=420.0, poll=45.0):
+        if not wait_for_device(max_wait=1200.0, poll=60.0):
             results[name] = {"error": "device probe never succeeded"}
             print(f"# {name}: SKIPPED (tunnel dead)", flush=True)
             continue
@@ -539,7 +539,7 @@ def main():
         if "error" in res:
             print(f"# {name}: FAILED ({res['error'][:120]}); "
                   f"waiting out recovery window and retrying once", flush=True)
-            if wait_for_device(max_wait=420.0, poll=45.0):
+            if wait_for_device(max_wait=1200.0, poll=60.0):
                 res = _run_stage_subprocess(name)
         results[name] = res
         if "seconds" in res:

@@ -65,10 +65,15 @@ def run_ngp_stage(args: Config) -> None:
     field_kind = str(args.get("ngp", {}).get("field", "dense"))
     tv_weight = float(args.get("ngp", {}).get("tv_weight", 1e-4))
     if field_kind == "dense":
-        # TPU-first default: one gather offset per point per level instead of
-        # the hash encode's 112 latency-bound rows (dense_grid.py module doc)
+        # one gather offset per point per level instead of the hash encode's
+        # 112 latency-bound rows (dense_grid.py module doc)
         from .dense_grid import DenseGridField
         field = DenseGridField()
+    elif field_kind == "fourier":
+        # gather-free Fourier-feature MLP: pure-MXU step, no table lookups
+        # and no scatter-add backward at all (fourier.py module doc)
+        from .fourier import FourierField
+        field, tv_weight = FourierField(), 0.0
     else:
         field, tv_weight = None, 0.0  # NGPField default (parity-study path)
     # scan_block=4 (CLAUDE.md: scan length 4 is the stable axon boundary;

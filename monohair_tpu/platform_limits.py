@@ -52,9 +52,10 @@ SYNC_EVERY_BLOCKS = 4
 #: scatter-add of the same row count; 262144 pts * 8 corner-rows < 2M+slack.
 ENCODE_CHUNK = 262144
 
-#: Seconds the tunnel typically stays dead after a worker crash. Recovery
-#: probes should wait and retry across this window, from a FRESH process.
-TUNNEL_RECOVERY_SECONDS = 300
+#: Seconds the tunnel typically stays dead after a worker crash (observed
+#: up to ~15 min in r4). Recovery probes should wait and retry across this
+#: window, from a FRESH process.
+TUNNEL_RECOVERY_SECONDS = 900
 
 #: Remat around dense-grid renders faults where the plain backward runs.
 DENSE_GRID_REMAT_SAFE = False

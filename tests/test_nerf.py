@@ -116,3 +116,36 @@ def test_pose_anchor_identity(tmp_path, rng):
         np.testing.assert_allclose(R.from_quat(quats[k]).as_matrix(),
                                    A[k][:3, :3], atol=1e-6)
         np.testing.assert_allclose(trans[k], A[k][:3, 3], atol=1e-6)
+
+
+def test_fourier_field_trains_and_renders():
+    """FourierField (nerf/fourier.py): gather-free MXU field shares the
+    train/render/export API; a few steps reduce the loss and renders stay
+    finite."""
+    import jax
+    import jax.numpy as jnp
+
+    from monohair_tpu.nerf.fourier import FourierField
+    from monohair_tpu.nerf.train import NerfDataset, render_image, train_nerf
+
+    f = FourierField(num_features=32, hidden=32, depth=3)
+    v = f.init(jax.random.PRNGKey(0), jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    sigma, rgb = f.apply(v, jnp.asarray(np.random.rand(16, 3).astype(np.float32)),
+                         jnp.asarray(np.tile([0.0, 0.0, 1.0], (16, 1))
+                                     .astype(np.float32)))
+    assert sigma.shape == (16,) and rgb.shape == (16, 3)
+    assert bool(jnp.isfinite(sigma).all()) and bool((rgb >= 0).all())
+
+    rng = np.random.default_rng(0)
+    imgs = rng.random((2, 12, 16, 3)).astype(np.float32)
+    poses = np.stack([np.eye(4, dtype=np.float32)] * 2)
+    poses[:, 2, 3] = 1.4
+    ds = NerfDataset(imgs, poses, 16.0, 16.0, 8.0, 6.0)
+    fld, vv, losses, _ = train_nerf(ds, steps=8, rays_per_batch=64, field=f,
+                                    use_occupancy=False, num_samples=8,
+                                    scan_block=2, log_every=2)
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0] * 1.5  # moving, not diverging
+    r, _ = render_image(fld, vv, poses[0], 12, 16, 16.0, 16.0, 8.0, 6.0,
+                        chunk=64)
+    assert r.shape == (12, 16, 3) and np.isfinite(r).all()

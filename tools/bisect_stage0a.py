@@ -17,17 +17,16 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 EXPERIMENTS = {
-    # key: kwargs for the child
-    "base": {},                               # the crashing bench config
+    # key: kwargs for the child. "base" (the bench config: dense 4096x64
+    # uniform, scan_block=4, tv=1e-4) CRASHED reproducibly at 8 steps
+    # (r4, twice) — these bisect the cause, most informative first.
+    "fourier": {"field": "fourier", "steps": 64},  # no gathers/scatters
     "no_tv": {"tv_weight": 0.0},
     "block1": {"scan_block": 1},
     "rays2048": {"rays_per_batch": 2048},
-    "rays1024": {"rays_per_batch": 1024},
     "levels2": {"levels": (64, 160)},
-    "levels2b": {"levels": (160, 256)},
     "hash": {"field": "hash"},
-    "steps4": {"steps": 4},
-    "nodonate": {"no_donate": True},
+    "base": {},
 }
 
 
@@ -57,6 +56,9 @@ def child(key: str) -> None:
                                                   DenseGridField)
         field = DenseGridField(cfg=DenseGridConfig(
             resolutions=tuple(cfg["levels"])))
+    elif cfg["field"] == "fourier":
+        from monohair_tpu.nerf.fourier import FourierField
+        field = FourierField()
     else:
         field = None  # NGPField default
 
@@ -77,7 +79,7 @@ def main() -> None:
             f.write(line + "\n")
 
     for key in EXPERIMENTS:
-        if not wait_for_device(max_wait=420.0, poll=45.0, log=print):
+        if not wait_for_device(max_wait=1200.0, poll=60.0, log=print):
             log(f"{key}: SKIP (tunnel never recovered)")
             continue
         t0 = time.time()

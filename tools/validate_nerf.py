@@ -74,10 +74,15 @@ def main():
                     help="steps per device call; >1 is faster but the axon "
                          "worker has wedged on scanned blocks at capture "
                          "scale — 1 is the safe default over the tunnel")
-    ap.add_argument("--field", choices=["hash", "dense"], default="hash",
+    ap.add_argument("--field", choices=["hash", "dense", "fourier"],
+                    default="hash",
                     help="dense = z-packed dense multiscale grid "
                          "(nerf/dense_grid.py): one gather offset per point "
-                         "per level instead of the hash encode's 112 rows")
+                         "per level instead of the hash encode's 112 rows; "
+                         "fourier = gather-free Fourier-feature MLP "
+                         "(nerf/fourier.py): pure-MXU step, no table at all")
+    ap.add_argument("--uniform", action="store_true",
+                    help="disable the occupancy grid (uniform sampling)")
     ap.add_argument("--full-grid", action="store_true",
                     help="use the full 14-level/2^19 instant-ngp config; the "
                          "default is the coarse-geometry config (12 levels, "
@@ -95,6 +100,9 @@ def main():
     if args.field == "dense":
         from monohair_tpu.nerf.dense_grid import DenseGridField
         field, tv_weight = DenseGridField(), 1e-4
+    elif args.field == "fourier":
+        from monohair_tpu.nerf.fourier import FourierField
+        field = FourierField()
     elif args.full_grid:
         field = NGPField()
     else:
@@ -119,7 +127,8 @@ def main():
     t0 = time.time()
     field, variables, losses, occ_grid = train_nerf(
         train_ds, steps=args.steps, rays_per_batch=args.rays, field=field,
-        use_occupancy=True, occ_resolution=128, scan_block=args.scan_block,
+        use_occupancy=not args.uniform, occ_resolution=128,
+        scan_block=args.scan_block,
         occ_warmup=args.warmup, log_every=max(args.steps // 32, 1),
         verbose=True, tv_weight=tv_weight)
     t_train = time.time() - t0
