@@ -21,9 +21,10 @@ becomes arithmetic.
 Every stage of BASELINE.md's "full reconstruction" runs ON THE CHIP at
 big_wavy1-scale workloads (north star: < 10 min on one TPU v5e):
 
-  stage0a coarse NeRF — dense-grid field (nerf/dense_grid.py) trained for the
-          pipeline budget (4000 steps at 4096 rays x 64 samples, the validated
-          axon-safe step shape, 16 capture views at 1280x720); per-step cost
+  stage0a coarse NeRF — the shipped default field (nerf/pipeline.py
+          DEFAULT_FIELD, via the same make_field registry the pipeline uses)
+          trained for the pipeline budget (nerf/pipeline.py DEFAULT_* shape,
+          16 capture views at 1280x720); per-step cost
           measured as the difference of two training
           runs so compile/cache load cancels; plus the 16 fixed-view renders
           and the 256^3 density-grid export (run.py:181,272-305 equivalents)
@@ -77,7 +78,7 @@ def _nerf_workload():
     bench and the shipped defaults cannot drift (ADVICE r3 medium)."""
     from monohair_tpu.nerf import pipeline as npipe
     return (npipe.DEFAULT_TRAIN_STEPS, npipe.DEFAULT_RAYS_PER_BATCH,
-            npipe.DEFAULT_USE_OCCUPANCY)
+            npipe.DEFAULT_USE_OCCUPANCY, npipe.DEFAULT_FIELD)
 
 
 def ring_cameras(V, H, W):
@@ -205,10 +206,10 @@ def shell_points(rng, n):
 
 def bench_stage0a_nerf(rng):
     import jax.numpy as jnp
-    from monohair_tpu.nerf.dense_grid import DenseGridField
+    from monohair_tpu.nerf.pipeline import make_field
     from monohair_tpu.nerf.train import NerfDataset, train_nerf
 
-    budget_steps, rays, use_occ = _nerf_workload()
+    budget_steps, rays, use_occ, field_kind = _nerf_workload()
     F, H, W = 16, 720, 1280
     imgs = rng.random((F, H, W, 3)).astype(np.float32)
     poses = np.stack([np.eye(4, dtype=np.float32)] * F)
@@ -219,10 +220,11 @@ def bench_stage0a_nerf(rng):
 
     def run(steps):
         t0 = time.perf_counter()
-        # The shipped pipeline default shape (nerf/pipeline.py DEFAULT_*),
-        # guarded by platform_limits.assert_train_step_shape.
+        # The shipped pipeline default shape AND field (nerf/pipeline.py
+        # DEFAULT_*), guarded by platform_limits.assert_train_step_shape.
+        field, tv, lr = make_field(field_kind)
         train_nerf(ds, steps=steps, rays_per_batch=rays,
-                   field=DenseGridField(), tv_weight=1e-4,
+                   field=field, tv_weight=tv, lr=lr,
                    use_occupancy=use_occ, log_every=steps)
         return time.perf_counter() - t0
     t_small, n_small = run(64), 64
@@ -230,16 +232,12 @@ def bench_stage0a_nerf(rng):
     t_step = max(t_big - t_small, 1e-3) / (n_big - n_small)
     t_train = t_step * budget_steps
 
-    # roofline: the dense-grid encode is gather-bound — rows/step =
-    # samples x levels x 4 xy-corner rows, doubled for the backward scatter
     samples = rays * 64 * (2 if use_occ else 1)
-    rows_per_step = samples * 3 * 4 * 2
-    rows_per_sec = rows_per_step / t_step
 
     # 16 fixed-view renders + the 256^3 density export, measured directly
     from monohair_tpu.nerf.ngp import density_grid, init_occupancy_grid
     from monohair_tpu.nerf.train import render_image
-    field = DenseGridField()
+    field, _, _ = make_field(field_kind)
     variables = field.init(__import__("jax").random.PRNGKey(0),
                            jnp.zeros((8, 3)), jnp.zeros((8, 3)))
     occ = init_occupancy_grid(128)
@@ -250,15 +248,27 @@ def bench_stage0a_nerf(rng):
     t0 = time.perf_counter()
     np.asarray(density_grid(field, variables, 256))
     t_grid = time.perf_counter() - t0
-    return {"seconds": t_train + 16 * t_render + t_grid,
-            "nerf_steps_per_sec": 1.0 / t_step,
-            "nerf_budget_steps": budget_steps,
-            "nerf_rays_per_batch": rays,
-            "nerf_use_occupancy": use_occ,
-            "nerf_gather_rows_per_sec": rows_per_sec,
-            "nerf_gather_ceiling_frac": rows_per_sec / GATHER_ROWS_PER_SEC_CEILING,
-            "nerf_render_seconds": 16 * t_render,
-            "nerf_grid_export_seconds": t_grid}
+    out = {"seconds": t_train + 16 * t_render + t_grid,
+           "nerf_steps_per_sec": 1.0 / t_step,
+           "nerf_budget_steps": budget_steps,
+           "nerf_rays_per_batch": rays,
+           "nerf_use_occupancy": use_occ,
+           "nerf_field": field_kind,
+           "nerf_render_seconds": 16 * t_render,
+           "nerf_grid_export_seconds": t_grid}
+    if field_kind == "dense":
+        # the dense-grid encode is gather-bound — rows/step = samples x
+        # levels x 4 xy-corner rows, doubled for the backward scatter;
+        # the fourier field has no gathers (MXU-bound), so MFU instead
+        rows_per_sec = samples * 3 * 4 * 2 / t_step
+        out["nerf_gather_rows_per_sec"] = rows_per_sec
+        out["nerf_gather_ceiling_frac"] = (rows_per_sec
+                                           / GATHER_ROWS_PER_SEC_CEILING)
+    elif hasattr(field, "flops_per_sample"):
+        # fwd + backward ~= 3x forward model FLOPs
+        flops_step = 3.0 * field.flops_per_sample() * samples
+        out["nerf_mfu"] = flops_step / t_step / PEAK_FLOPS
+    return out
 
 
 def bench_stage0b_segment(rng):

@@ -62,6 +62,19 @@ class FourierField(nn.Module):
         self.rgb1 = nn.Dense(self.hidden // 2)
         self.rgb2 = nn.Dense(3)
 
+    def flops_per_sample(self) -> float:
+        """Analytic forward FLOPs per point sample (both heads) — used by
+        bench.py's roofline accounting (backward ~= 2x forward)."""
+        enc = 2 * self.num_features
+        f = 2 * 3 * self.num_features                    # feature matmul
+        f += 2 * enc * self.hidden                       # trunk[0]
+        f += 2 * (self.depth - 1) * self.hidden ** 2     # trunk[1:]
+        f += 2 * enc * self.hidden                       # skip
+        f += 2 * self.hidden * (1 + self.geo_feat)       # sigma head
+        f += 2 * (16 + self.geo_feat) * (self.hidden // 2)  # rgb1 (SH deg4)
+        f += 2 * (self.hidden // 2) * 3                  # rgb2
+        return float(f)
+
     def _features(self, points01: jnp.ndarray) -> jnp.ndarray:
         # points01 in [0,1]^3 -> (N, 2*num_features) in bf16-friendly range
         ang = (2.0 * jnp.pi) * (points01 @ self.B)

@@ -51,6 +51,28 @@ def render_camera_path_video(field, variables, base_cam_path: str, out_path: str
 DEFAULT_TRAIN_STEPS = 4000
 DEFAULT_RAYS_PER_BATCH = 4096
 DEFAULT_USE_OCCUPANCY = False
+# fourier (nerf/fourier.py): the only field whose train step has NO table
+# gathers or scatter-add backward — the op family implicated in every axon
+# worker fault (r4 bisect, /tmp/bisect_stage0a.log: fourier OK, dense
+# CRASHES at the same shape twice). Pure-MXU steps are also the fastest
+# per-step; PSNR-vs-steps evidence in tools/validate_nerf.py --curve.
+DEFAULT_FIELD = "fourier"
+
+
+def make_field(kind: str):
+    """Field registry shared by the pipeline, bench.py and validate_nerf —
+    returns (field, tv_weight, lr). Grid tables train at 1e-2 (instant-ngp
+    convention); the fourier MLP diverges there — measured dead at 1e-2
+    (PSNR frozen 20.3 over 4000 capture-scale steps, /tmp r4 sweep) and
+    converging at 1e-3 (24.1 dB by 1200 steps on the same case)."""
+    if kind == "dense":
+        from .dense_grid import DenseGridField
+        return DenseGridField(), 1e-4, 1e-2
+    if kind == "fourier":
+        from .fourier import FourierField
+        return FourierField(), 0.0, 1e-3
+    from .ngp import NGPField
+    return NGPField(), 0.0, 1e-2
 
 
 def run_ngp_stage(args: Config) -> None:
@@ -62,27 +84,17 @@ def run_ngp_stage(args: Config) -> None:
     ds = load_nerf_dataset(os.path.join(colmap_dir, "transforms.json"),
                            os.path.join(colmap_dir, "images"))
     steps = int(args.get("ngp", {}).get("train_steps", DEFAULT_TRAIN_STEPS))
-    field_kind = str(args.get("ngp", {}).get("field", "dense"))
-    tv_weight = float(args.get("ngp", {}).get("tv_weight", 1e-4))
-    if field_kind == "dense":
-        # one gather offset per point per level instead of the hash encode's
-        # 112 latency-bound rows (dense_grid.py module doc)
-        from .dense_grid import DenseGridField
-        field = DenseGridField()
-    elif field_kind == "fourier":
-        # gather-free Fourier-feature MLP: pure-MXU step, no table lookups
-        # and no scatter-add backward at all (fourier.py module doc)
-        from .fourier import FourierField
-        field, tv_weight = FourierField(), 0.0
-    else:
-        field, tv_weight = None, 0.0  # NGPField default (parity-study path)
+    field_kind = str(args.get("ngp", {}).get("field", DEFAULT_FIELD))
+    field, tv_weight, lr = make_field(field_kind)
+    tv_weight = float(args.get("ngp", {}).get("tv_weight", tv_weight))
+    lr = float(args.get("ngp", {}).get("lr", lr))
     # scan_block=4 (CLAUDE.md: scan length 4 is the stable axon boundary;
     # measured here: scan_block=1 single-step dispatch with donated dense-grid
     # trees WEDGES the worker right after step 1 — the validated end-to-end
     # run used 4-step blocks).
     scan_block = int(args.get("ngp", {}).get("scan_block", 4))
     field, variables, losses, occ_grid = train_nerf(
-        ds, steps=steps, field=field, tv_weight=tv_weight,
+        ds, steps=steps, field=field, tv_weight=tv_weight, lr=lr,
         use_occupancy=bool(args.get("ngp", {}).get("use_occupancy",
                                                    DEFAULT_USE_OCCUPANCY)),
         occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)),

@@ -71,7 +71,8 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
                verbose: bool = False,
                tv_weight: float = 0.0, use_remat: Optional[bool] = None,
                sync_every: int = platform_limits.SYNC_EVERY_BLOCKS,
-               mesh=None, param_dtype=None):
+               mesh=None, param_dtype=None, init_state=None,
+               total_steps: Optional[int] = None, return_state: bool = False):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -104,10 +105,17 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
         # backward runs fine (tools/debug_dense_step3.py bisect).
         use_remat = not hasattr(field, "tv")
     rng = jax.random.PRNGKey(seed)
-    variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+    # the decay horizon is total_steps so warm-started segments (init_state,
+    # used by validate_nerf --curve for a PSNR-vs-steps curve from ONE run)
+    # continue the same schedule: adam's count rides in opt_state.
     tx = optax.chain(optax.clip_by_global_norm(10.0),
-                     optax.adam(optax.exponential_decay(lr, steps, 0.1)))
-    opt_state = tx.init(variables)
+                     optax.adam(optax.exponential_decay(
+                         lr, total_steps or steps, 0.1)))
+    if init_state is not None:
+        variables, opt_state = init_state
+    else:
+        variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
+        opt_state = tx.init(variables)
     occ_grid = init_occupancy_grid(occ_resolution if use_occupancy else 1)
 
     F, H, W = ds.images.shape[:3]
@@ -226,7 +234,8 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
             # pipelines within the window).
             jax.block_until_ready(blk_losses)
         done += n_sub
-    return field, variables, losses, occ_grid if use_occupancy else None
+    ret = (field, variables, losses, occ_grid if use_occupancy else None)
+    return ret + ((variables, opt_state),) if return_state else ret
 
 
 def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,

@@ -117,9 +117,14 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="trained/hair_parser")
     ap.add_argument("--modnet_steps", type=int, default=800)
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS; smoke-testing off-chip needs this)")
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     import optax

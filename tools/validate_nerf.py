@@ -60,6 +60,41 @@ def make_orbit(num_views, H, W, f, elev=0.2):
     return np.stack(imgs), np.stack(poses)
 
 
+def ball_surface_metrics(field, variables, res=128, bound=1.5, thresh=3.0):
+    """Surface precision/recall of the exported density grid vs the analytic
+    ball SHELL. The downstream consumer is marching cubes (mc_thresh~2.5,
+    pipeline.py): what matters is that the density threshold crossing sits on
+    the true surface. A NeRF never observes the interior of an opaque object,
+    so interior voxels are don't-care for precision (a solid-ball IoU would
+    cap at ~0.3 for a perfect field). Returns (precision, recall):
+      precision — exterior+shell pred voxels that lie within ~2 voxels of the
+                  true surface (floaters / fog outside the ball hurt);
+      recall    — GT shell voxels covered by the dilated prediction (holes in
+                  the reconstructed surface hurt)."""
+    from monohair_tpu.nerf.ngp import density_grid
+    grid = np.asarray(density_grid(field, variables, res, bound=bound))
+    vox = 2.0 * bound / res
+    ax = np.linspace(-bound, bound, res)
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
+    r = np.sqrt(X ** 2 + Y ** 2 + Z ** 2)
+    shell = np.abs(r - RADIUS) < 1.5 * vox
+    interior = r < RADIUS - 1.5 * vox
+    pred = grid > thresh
+
+    def dilate3(m):
+        out = m.copy()
+        for axis in range(3):
+            out |= np.roll(m, 1, axis) | np.roll(m, -1, axis)
+        return out
+
+    shell_d = dilate3(shell)
+    pred_d = dilate3(pred)
+    pred_outer = pred & ~interior
+    precision = (pred_outer & shell_d).sum() / max(pred_outer.sum(), 1)
+    recall = (pred_d & shell).sum() / max(shell.sum(), 1)
+    return float(precision), float(recall)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -83,6 +118,17 @@ def main():
                          "(nerf/fourier.py): pure-MXU step, no table at all")
     ap.add_argument("--uniform", action="store_true",
                     help="disable the occupancy grid (uniform sampling)")
+    ap.add_argument("--lr", type=float, default=0.0,
+                    help="override the field's default learning rate")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin the CPU backend (the axon plugin ignores "
+                         "JAX_PLATFORMS env)")
+    ap.add_argument("--curve", default="",
+                    help="comma-separated step checkpoints (e.g. "
+                         "250,500,1000,2000,4000): train in warm-started "
+                         "segments and print held-out PSNR at each — the "
+                         "PSNR-vs-steps convergence evidence for the stage0a "
+                         "budget (VERDICT r3 item 2), from one run")
     ap.add_argument("--full-grid", action="store_true",
                     help="use the full 14-level/2^19 instant-ngp config; the "
                          "default is the coarse-geometry config (12 levels, "
@@ -92,22 +138,20 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    from monohair_tpu.nerf.ngp import HashGridConfig, NGPField, density_grid
+    from monohair_tpu.nerf.ngp import HashGridConfig, NGPField
     from monohair_tpu.nerf.train import NerfDataset, psnr, render_image, train_nerf
 
-    tv_weight = 0.0
-    if args.field == "dense":
-        from monohair_tpu.nerf.dense_grid import DenseGridField
-        field, tv_weight = DenseGridField(), 1e-4
-    elif args.field == "fourier":
-        from monohair_tpu.nerf.fourier import FourierField
-        field = FourierField()
+    from monohair_tpu.nerf.pipeline import make_field
+    if args.field in ("dense", "fourier"):
+        field, tv_weight, lr = make_field(args.field)
     elif args.full_grid:
-        field = NGPField()
+        field, tv_weight, lr = NGPField(), 0.0, 1e-2
     else:
-        field = NGPField(cfg=HashGridConfig(
-            num_levels=12, log2_table_size=18, finest_resolution=512))
+        field, tv_weight, lr = NGPField(cfg=HashGridConfig(
+            num_levels=12, log2_table_size=18, finest_resolution=512)), 0.0, 1e-2
 
     H, W = args.height, args.width
     f = 0.5 * W  # ~53 deg hfov
@@ -124,15 +168,31 @@ def main():
     train_ds = NerfDataset(imgs[:-1], poses[:-1], f, f, W / 2, H / 2)
     test_img, test_pose = imgs[-1], poses[-1]
 
-    t0 = time.time()
-    field, variables, losses, occ_grid = train_nerf(
-        train_ds, steps=args.steps, rays_per_batch=args.rays, field=field,
-        use_occupancy=not args.uniform, occ_resolution=128,
-        scan_block=args.scan_block,
-        occ_warmup=args.warmup, log_every=max(args.steps // 32, 1),
-        verbose=True, tv_weight=tv_weight)
-    t_train = time.time() - t0
-    print(f"trained {args.steps} steps in {t_train:.0f}s, losses {losses}",
+    checkpoints = ([int(s) for s in args.curve.split(",")] if args.curve
+                   else [args.steps])
+    total = checkpoints[-1]
+    state, done, t_train = None, 0, 0.0
+    for seg_i, cp in enumerate(checkpoints):
+        t0 = time.time()
+        lr_kw = {"lr": args.lr if args.lr > 0 else lr}
+        field, variables, losses, occ_grid, state = train_nerf(
+            train_ds, steps=cp - done, rays_per_batch=args.rays, field=field,
+            use_occupancy=not args.uniform, occ_resolution=128,
+            scan_block=args.scan_block, seed=seg_i, **lr_kw,
+            occ_warmup=args.warmup, log_every=max((cp - done) // 8, 1),
+            verbose=True, tv_weight=tv_weight, init_state=state,
+            total_steps=total, return_state=True)
+        t_train += time.time() - t0
+        done = cp
+        if len(checkpoints) > 1:
+            rgb, _ = render_image(field, variables, test_pose, H, W,
+                                  f, f, W / 2, H / 2, occ_grid=occ_grid)
+            sp, sr = ball_surface_metrics(field, variables)
+            print(f"CURVE steps={cp} train_s={t_train:.0f} "
+                  f"psnr={psnr(np.clip(rgb, 0, 1), test_img):.2f} "
+                  f"surf_prec={sp:.3f} surf_rec={sr:.3f}",
+                  flush=True)
+    print(f"trained {done} steps in {t_train:.0f}s, losses {losses}",
           flush=True)
 
     t0 = time.time()
@@ -143,17 +203,12 @@ def main():
     print(f"held-out PSNR at {W}x{H}: {p:.2f} dB (render {t_render:.1f}s)",
           flush=True)
 
-    # mesh quality: density-grid occupancy IoU vs the analytic ball
-    res, bound = 128, 1.5
-    grid = density_grid(field, variables, res, bound=bound)
-    ax = np.linspace(-bound, bound, res)
-    X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
-    gt = (X ** 2 + Y ** 2 + Z ** 2) < RADIUS ** 2
-    pred = grid > 3.0
-    iou = (pred & gt).sum() / max((pred | gt).sum(), 1)
-    print(f"density-mesh IoU vs analytic ball: {iou:.3f}")
-    print(f"SUMMARY steps={args.steps} train_s={t_train:.0f} psnr={p:.2f} "
-          f"iou={iou:.3f}")
+    # mesh quality: density-grid surface precision/recall vs the analytic ball
+    sp, sr = ball_surface_metrics(field, variables)
+    print(f"density surface precision/recall vs analytic ball: "
+          f"{sp:.3f}/{sr:.3f}")
+    print(f"SUMMARY steps={done} train_s={t_train:.0f} psnr={p:.2f} "
+          f"surf_prec={sp:.3f} surf_rec={sr:.3f}")
 
 
 if __name__ == "__main__":
