@@ -50,6 +50,14 @@ class FourierField(nn.Module):
     hidden: int = 128
     depth: int = 4
     geo_feat: int = 15
+    # density sparsity prior weight, read by train_nerf: Fourier features are
+    # a GLOBAL basis, so photometric-only training leaks density into
+    # never-observed space (cube corners no ray traverses) — measured surface
+    # precision 0.27 -> 0.02 between 1k and 8k steps while PSNR rose to 35 dB.
+    # A mean(1-exp(-0.05 sigma)) penalty at 4096 uniform points/step is the
+    # only gradient there and pushes fog to zero; grid fields update locally
+    # and don't need it.
+    sparsity_weight: float = 1e-3
 
     def setup(self):
         # fixed (non-trained) Gaussian frequency matrix, like the paper;

@@ -224,17 +224,41 @@ def main(data_root, case="bigsynth"):
     np.save(os.path.join(root, "assets/landmark_vertex_ids.npy"),
             rng.choice(len(hv), 68, replace=False).astype(np.int64))
 
-    # segmentation / landmark checkpoints (random-init, real graphs)
+    # segmentation / landmark checkpoints: prefer the repo's TRAINED hair
+    # parser + matte (tools/train_hair_parser.py, width 0.5) so the e2e
+    # exercises the neural mask path with weights that actually segment
+    # (VERDICT r3 item 4); fall back to random-init graphs (timing-honest)
     import jax.numpy as jnp
     from monohair_tpu.segment.bisenet import BiSeNet
     from monohair_tpu.segment.fan import FAN
     from monohair_tpu.segment.modnet import MODNet
-    random_ckpt(os.path.join(root, "ckpts/modnet.npz"), MODNet(),
-                jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(0))
-    random_ckpt(os.path.join(root, "ckpts/bisenet.npz"), BiSeNet(n_classes=19),
-                jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(1))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    trained = os.path.join(repo, "trained/hair_parser")
+    have_trained = (os.path.exists(os.path.join(trained, "bisenet.npz"))
+                    and os.path.exists(os.path.join(trained, "modnet.npz")))
+    if have_trained:
+        modnet_flax = os.path.join(trained, "modnet.npz")
+        parser_flax = os.path.join(trained, "bisenet.npz")
+        seg_width = "  modnet_width: 0.5\n  parser_width: 0.5\n"
+        print(f"using trained segmentation weights from {trained}")
+    else:
+        modnet_flax = os.path.join(root, "ckpts/modnet.npz")
+        parser_flax = os.path.join(root, "ckpts/bisenet.npz")
+        seg_width = ""
+        random_ckpt(modnet_flax, MODNet(),
+                    jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(0))
+        random_ckpt(parser_flax, BiSeNet(n_classes=19),
+                    jnp.zeros((1, 512, 512, 3)), jax.random.PRNGKey(1))
     random_ckpt(os.path.join(root, "ckpts/fan.npz"), FAN(num_modules=1),
                 jnp.zeros((1, 256, 256, 3)), jax.random.PRNGKey(2))
+    # likewise prefer trained MVS occ/ori checkpoints (train_mvs.py orbax
+    # dirs; loaded by infer_inner_stage._load_variables)
+    occ_ckpt = os.path.join(repo, "trained/mvs/occ")
+    ori_ckpt = os.path.join(repo, "trained/mvs/ori")
+    occ_ckpt = occ_ckpt if os.path.isdir(occ_ckpt) else ""
+    ori_ckpt = ori_ckpt if os.path.isdir(ori_ckpt) else ""
+    if occ_ckpt or ori_ckpt:
+        print(f"using trained MVS checkpoints: occ={occ_ckpt} ori={ori_ckpt}")
 
     cfg = f"""_parent_: configs/reconstruct/base.yaml
 
@@ -253,13 +277,12 @@ infer_inner:
 
 ngp:
   train_steps: 1500
-  field: dense
   marching_cubes_density_thresh: 3.0
 
 segment:
-  modnet_flax: {root}/ckpts/modnet.npz
-  parser_flax: {root}/ckpts/bisenet.npz
-  fan_flax: {root}/ckpts/fan.npz
+  modnet_flax: {modnet_flax}
+  parser_flax: {parser_flax}
+{seg_width}  fan_flax: {root}/ckpts/fan.npz
   fan_modules: 1
 
 bustfit:
@@ -274,8 +297,8 @@ optimize:
   iter: 500
 
 mvs:
-  occ_model_path:
-  ori_model_path:
+  occ_model_path: {occ_ckpt}
+  ori_model_path: {ori_ckpt}
 
 PMVO:
   patch_size: 7
