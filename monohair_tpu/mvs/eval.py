@@ -59,8 +59,14 @@ def colmap_guided_queries(colmap_mesh_path: str, vsize: float = VSIZE_COARSE,
 
 
 def eval_points(occ_model_def: OccAttn, occ_vars, ori_model_def: OriAttn, ori_vars,
-                occ_feats, ori_feats, w2c, ndc, pts):
+                occ_feats, ori_feats, w2c, ndc, pts, occ_margin: float = 0.0):
     """One batch: project, sample features, run both heads.
+
+    `occ_margin` is the decision threshold on the logit difference (0.0 =
+    argmax). A checkpoint trained on balanced pos/neg batches over-predicts
+    positive on the natural query distribution; tools/tune_occ_threshold.py
+    picks the F1-optimal margin on the training cases and stores it next to
+    the checkpoint (occ_margin.json), which the stage deploys here.
 
     Returns (occ_positive (N,) bool, ori (N, 3) unit)."""
     coord, cam = mvs_projection(w2c, ndc, pts)
@@ -69,7 +75,7 @@ def eval_points(occ_model_def: OccAttn, occ_vars, ori_model_def: OriAttn, ori_va
                                      method=occ_model_def.forward_with_feat)
     ori = ori_model_def.apply(ori_vars, ori_feats, pts, pts_view, coord,
                               method=ori_model_def.forward_with_feat)
-    positive = occ_logits[:, 1] > occ_logits[:, 0]
+    positive = (occ_logits[:, 1] - occ_logits[:, 0]) > occ_margin
     return positive, ori, check_pts_in_views(coord, "any")
 
 
@@ -78,7 +84,8 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
                   query_points: Optional[np.ndarray] = None,
                   batch: int = 8192, mesh=None,
                   vsize: float = VSIZE_COARSE,
-                  bbox_min=VOXEL_MIN, bbox_max=VOXEL_MAX
+                  bbox_min=VOXEL_MIN, bbox_max=VOXEL_MAX,
+                  occ_margin: float = 0.0
                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Stream the dense query grid through both nets; write voxels.dat,
     Voxel_hair/{Occ3D,Ori3D}.mat and raw.npy like the reference
@@ -96,7 +103,8 @@ def deep_mvs_eval(inputs: MVSInputs, occ_model: OccAttn, occ_vars,
     # device arrays bake into the HLO as constants (GBs at capture scale, blows
     # the axon remote-compile payload limit).
     step = jax.jit(lambda ov, orv, of, orf, w, nd, pts: eval_points(
-        occ_model, ov, ori_model, orv, of, orf, w, nd, pts))
+        occ_model, ov, ori_model, orv, of, orf, w, nd, pts,
+        occ_margin=occ_margin))
     # Double-buffered stream: dispatch batch k+1 BEFORE reading batch k back.
     # JAX dispatch is async, but a bare np.asarray(p) right after the step
     # call blocks the host on that batch's result — over the axon tunnel that

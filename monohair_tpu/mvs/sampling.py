@@ -47,7 +47,9 @@ def sample_ori_training_points(occ: np.ndarray, ori: np.ndarray, seed: int = 0,
     """Points inside occupied voxels paired with the voxel's direction
     (OriDataset semantics: supervised only where occupancy is positive)."""
     rng = np.random.default_rng(seed)
-    pos_idx = np.argwhere(occ > 0)
+    # occ may be a morphologically closed volume (make_mvs_cases.py) whose
+    # interior voxels carry no direction; supervise only where ori is defined
+    pos_idx = np.argwhere((occ > 0) & (np.linalg.norm(ori, axis=-1) > 1e-6))
     pts = rand_samples_from_grid(pos_idx, per_grid, rng)
     dirs = np.repeat(ori[pos_idx[:, 0], pos_idx[:, 1], pos_idx[:, 2]], per_grid, 0)
     return pts, dirs.astype(np.float32)

@@ -70,9 +70,23 @@ def run_infer_inner(args: Config, mesh=None) -> None:
         # 32768 measures ~24% higher TPU throughput than the reference's 8192
         # (tools/tune_mvs_batch.py); CPU glue drives should override smaller
         batch = int(args.get("mvs", {}).get("eval_batch", 32768))
+        # occ decision threshold: explicit config wins; else the margin tuned
+        # by tools/tune_occ_threshold.py shipped next to the occ checkpoint
+        margin = args.get("mvs", {}).get("occ_logit_margin")
+        if margin is None or margin == "":
+            margin = 0.0
+            occ_dir = args.get("mvs", {}).get("occ_model_path") or ""
+            sidecar = os.path.join(os.path.dirname(occ_dir.rstrip("/")),
+                                   "occ_margin.json") if occ_dir else ""
+            if sidecar and os.path.exists(sidecar):
+                import json
+                with open(sidecar) as f:
+                    margin = float(json.load(f)["margin"])
+                print(f"[infer_inner] occ logit margin {margin:.3f} ({sidecar})")
         deep_mvs_eval(inputs, occ_model, occ_vars, ori_model, ori_vars,
                       save_folder=os.path.join(root, "ours"), mesh=mesh,
-                      vsize=vsize, query_points=queries, batch=batch)
+                      vsize=vsize, query_points=queries, batch=batch,
+                      occ_margin=float(margin))
 
         fuse_args = Config(args.to_dict())
         fuse_args.PMVO["infer_inner"] = True

@@ -87,3 +87,29 @@ def test_colmap_guided_queries(tmp_path):
         assert abs(np.diff(xs).min() - 0.005 / 4) < 1e-6
     # denser than the coarse full-bbox grid restricted to the same bbox would be
     assert len(q) > ((2 * s) / (0.005 / 4)) ** 2
+
+
+def test_occ_margin_monotone(rng):
+    """The deployed decision threshold (occ_margin) moves predictions
+    monotonically: a +inf margin predicts nothing, -inf everything, and the
+    tuned-margin path never flips a point in the wrong direction."""
+    from monohair_tpu.mvs.eval import eval_points
+
+    inputs, occ, occ_vars, ori, ori_vars = tiny_setup(rng)
+    pts = jnp.asarray((rng.random((40, 3)).astype(np.float32) - 0.5) * 0.2
+                      + np.array([0, 0, -1.0], np.float32))
+    occ_feats = occ.apply(occ_vars, inputs.imgs, method=occ.get_feat)
+    ori_feats = ori.apply(ori_vars, inputs.imgs, method=ori.get_feat)
+
+    def run(margin):
+        pos, _, _ = eval_points(occ, occ_vars, ori, ori_vars, occ_feats,
+                                ori_feats, inputs.w2c, inputs.ndc, pts,
+                                occ_margin=margin)
+        return np.asarray(pos)
+
+    base = run(0.0)
+    assert not run(1e9).any()
+    assert run(-1e9).all()
+    tighter = run(0.5)
+    looser = run(-0.5)
+    assert (tighter <= base).all() and (base <= looser).all()

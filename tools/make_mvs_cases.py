@@ -26,7 +26,7 @@ HEAD_R = 0.095
 HEAD_C = np.array([0.0, -0.02, 0.0])
 
 
-def make_varied_wig(rng, num_strands=700, num_pts=90):
+def make_varied_wig(rng, num_strands=2000, num_pts=90):
     """Strands grown from the upper head sphere with per-case style knobs."""
     curl = rng.uniform(0.0, 2.2)           # spiral strength
     length = rng.uniform(0.10, 0.22)
@@ -103,6 +103,7 @@ def main(out_root, n_cases=12, n_views=16, size=256):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
     from monohair_tpu.io.mat_io import save_occ_ori_mat
+    from monohair_tpu.ops.pool3d import close_volume
     from monohair_tpu.ops.voxelize import voxelize_directions
     from monohair_tpu.render import render_data
 
@@ -121,14 +122,24 @@ def main(out_root, n_cases=12, n_views=16, size=256):
         tang = np.concatenate([s[1:] - s[:-1] for s in strands])
         tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
         occ, ori = voxelize_directions(jnp.asarray(pts), jnp.asarray(tang))
+        # GT occupancy = the closed hair VOLUME, not per-strand voxel fuzz.
+        # Dense grooms (the reference's training data) voxelize to solid
+        # volumes; sparse synthetic wigs need morphological closing or a
+        # point between two wisps is labeled empty while looking exactly
+        # like hair from every view — an irreducible-precision ceiling
+        # (r4 run 2 plateaued at val P 0.32 on unclosed GT). Ori3D stays
+        # raw; sample_ori_training_points filters to direction-carrying
+        # voxels.
+        occ_solid = jnp.maximum(close_volume(occ, kernel=5), occ)
         save_occ_ori_mat(os.path.join(case_dir, "ours"),
-                         np.asarray(occ), np.asarray(ori))
+                         np.asarray(occ_solid), np.asarray(ori))
         names = [f"{v:03d}" for v in range(n_views)]
         render_data(cams, names, strands, hv, hf, (size, size),
                     save_root=os.path.join(case_dir, "imgs"))
         n_occ = int(np.asarray(occ).sum())
-        print(f"case{c:03d}: {len(strands)} strands, {n_occ} occupied voxels",
-              flush=True)
+        n_solid = int((np.asarray(occ_solid) > 0).sum())
+        print(f"case{c:03d}: {len(strands)} strands, {n_occ} raw / "
+              f"{n_solid} closed occupied voxels", flush=True)
     print(f"wrote {n_cases} cases under {out_root}")
 
 

@@ -86,7 +86,14 @@ def main():
     ap.add_argument("--val_frac", type=float, default=0.1)
     ap.add_argument("--eval_every", type=int, default=500)
     ap.add_argument("--save_every", type=int, default=5000)
-    ap.add_argument("--max_cached_cases", type=int, default=4)
+    ap.add_argument("--max_cached_cases", type=int, default=16,
+                    help="LRU case-cache size. Keep >= the training-case "
+                         "count whenever RAM allows: with random per-step "
+                         "case choice, a smaller cache thrashes — every miss "
+                         "re-reads 4 maps x views from disk, resamples "
+                         "points, and re-ships ~17 MB of images over the "
+                         "device link (measured r4: cache 4 over 12 cases "
+                         "= >3 s/step of pure reload; cache-all = none)")
     ap.add_argument("--resume", action="store_true",
                     help="restore params/opt state/step from --out and continue")
     ap.add_argument("--holdout_cases", type=int, default=0,
@@ -116,7 +123,10 @@ def main():
     V, H, W = first["inputs"].imgs.shape[:3]
     is_occ = args.kind == "occ"
     model = (OccAttn if is_occ else OriAttn)(num_views=V)
-    state, tx = create_state(model, jax.random.PRNGKey(0), V, (H, W), lr=args.lr)
+    import optax
+    state, tx = create_state(
+        model, jax.random.PRNGKey(0), V, (H, W),
+        optimizer=optax.adam(optax.cosine_decay_schedule(args.lr, args.steps)))
     step = make_train_step(model, tx, is_occ=is_occ)
     eval_step = make_eval_step(model, is_occ)
 
@@ -162,7 +172,21 @@ def main():
     for i in range(start, args.steps):
         entry = store.get(train_cases[int(rng.integers(0, len(train_cases)))])
         pts, targets = entry["train"]
-        sel = rng.integers(0, len(pts), args.batch)
+        if is_occ:
+            # Balanced batches: the sampler's near+far negatives outnumber
+            # positives ~5:1 (mvs/sampling.py), and unweighted CE on that mix
+            # plateaued at val recall ~0.28 (r4, stats_occ run 1). Half-pos /
+            # half-neg batches shift the learned prior to 0.5; val metrics
+            # stay on the natural distribution.
+            if "pos_neg" not in entry:
+                entry["pos_neg"] = (np.flatnonzero(targets > 0),
+                                    np.flatnonzero(targets == 0))
+            pos_i, neg_i = entry["pos_neg"]
+            sel = np.concatenate([
+                pos_i[rng.integers(0, len(pos_i), args.batch // 2)],
+                neg_i[rng.integers(0, len(neg_i), args.batch - args.batch // 2)]])
+        else:
+            sel = rng.integers(0, len(pts), args.batch)
         state, loss = step(state, entry["inputs"].imgs, entry["inputs"].w2c,
                            entry["inputs"].ndc, jnp.asarray(pts[sel]),
                            jnp.asarray(targets[sel]))
