@@ -109,6 +109,9 @@ def _load_variables(args: Config, kind: str, model, inputs):
         params, stats = convert_pifu_checkpoint(
             sd, "occ_vit" if kind == "occ" else "vit")
         return {"params": params, "batch_stats": stats}
+    if ckpt:
+        print(f"[infer_inner] WARNING: {kind}_model_path={ckpt} does not "
+              "exist — falling back to RANDOM-INIT weights", flush=True)
     import jax.numpy as jnp
     V, H, W, C = inputs.imgs.shape
     # jitted init: eager flax init dispatches thousands of tiny ops

@@ -122,32 +122,34 @@ def main():
         f"--optimize.iter={args_cli.fit_iters}",
     ])
 
+    from monohair_tpu.pipeline.hair_grow_stage import run_hair_grow
+    from monohair_tpu.pipeline.infer_inner_stage import run_infer_inner
+    from monohair_tpu.pipeline.pmvo_stage import run_pmvo
+    from monohair_tpu.pipeline.prepare_data_stage import run_prepare_data
+
     stages = {}
     t_all = time.time()
 
-    from monohair_tpu.pipeline.prepare_data_stage import run_prepare_data
-    t0 = time.time()
-    run_prepare_data(args)
-    stages["prepare_data"] = round(time.time() - t0, 1)
-    print(f"== prepare_data {stages['prepare_data']}s", flush=True)
-
-    from monohair_tpu.pipeline.pmvo_stage import run_pmvo
-    t0 = time.time()
-    run_pmvo(args)
-    stages["pmvo"] = round(time.time() - t0, 1)
-    print(f"== pmvo {stages['pmvo']}s", flush=True)
-
-    from monohair_tpu.pipeline.infer_inner_stage import run_infer_inner
-    t0 = time.time()
-    run_infer_inner(args)
-    stages["infer_inner"] = round(time.time() - t0, 1)
-    print(f"== infer_inner {stages['infer_inner']}s", flush=True)
-
-    from monohair_tpu.pipeline.hair_grow_stage import run_hair_grow
-    t0 = time.time()
-    run_hair_grow(args)
-    stages["hair_grow"] = round(time.time() - t0, 1)
-    print(f"== hair_grow {stages['hair_grow']}s", flush=True)
+    # Stages run in dependency order; an axon worker fault in one stage must
+    # still leave a JSON record of everything measured before it (the r3
+    # bench lost its whole round to exactly this — CLAUDE.md tunnel notes).
+    # Later stages are skipped because they consume the crashed stage's
+    # outputs.
+    for name, fn in (("prepare_data", run_prepare_data),
+                     ("pmvo", run_pmvo),
+                     ("infer_inner", run_infer_inner),
+                     ("hair_grow", run_hair_grow)):
+        t0 = time.time()
+        try:
+            fn(args)
+        except Exception as e:
+            stages[name] = {"error": repr(e),
+                            "seconds_until_fault": round(time.time() - t0, 1)}
+            print(f"== {name} FAILED after {time.time() - t0:.1f}s: {e!r}",
+                  flush=True)
+            break
+        stages[name] = round(time.time() - t0, 1)
+        print(f"== {name} {stages[name]}s", flush=True)
 
     total = round(time.time() - t_all, 1)
     out_hair = os.path.join(args.output_path, "full/connected_strands.hair")
@@ -158,6 +160,8 @@ def main():
     result = {
         "metric": "e2e_full_seconds",
         "total_seconds": total,
+        "completed": all(not isinstance(v, dict) for v in stages.values())
+                     and len(stages) == 4,
         "stages": stages,
         "budgets": {"ngp_steps": args_cli.ngp_steps,
                     "fit_iters": args_cli.fit_iters,
