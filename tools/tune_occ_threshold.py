@@ -80,11 +80,9 @@ def main():
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    import jax.numpy as jnp
     from monohair_tpu.checkpoint import load_pytree
     from monohair_tpu.models.pifu import OccAttn
     from monohair_tpu.mvs.eval import load_mvs_inputs
-    from monohair_tpu.mvs.train import TrainState, create_state
 
     cases = sorted(d for d in os.listdir(args.data_root)
                    if os.path.isdir(os.path.join(args.data_root, d)))
@@ -93,11 +91,12 @@ def main():
 
     first, _ = load_mvs_inputs(os.path.join(args.data_root, cases[0]),
                                args.calib)
-    V, H, W = first.imgs.shape[:3]
+    V = first.imgs.shape[0]
     model = OccAttn(num_views=V)
-    state, _ = create_state(model, jax.random.PRNGKey(0), V, (H, W))
-    state = TrainState(**load_pytree(args.ckpt, like=state._asdict()))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    # template-free restore: only params/batch_stats are needed, and the
+    # opt_state layout depends on the trainer's optimizer (cosine-decay adam)
+    tree = load_pytree(args.ckpt)
+    variables = {"params": tree["params"], "batch_stats": tree["batch_stats"]}
 
     def collect(case_list, tag):
         ds, ls = [], []
