@@ -277,7 +277,18 @@ infer_inner:
 
 ngp:
   train_steps: 1500
+  # fourier: gather-free MXU field — the dense grid crashed the axon worker
+  # twice at this exact 4096x64 shape in the r4 bisect, fourier has never
+  # faulted (tools/bisect_stage0a.py). Chip-validated at PSNR 39.78 /
+  # ~68 steps/s with surface P/R 0.71/0.39 at thresh 3.0
+  # (tools/validate_nerf.py).
+  field: fourier
   marching_cubes_density_thresh: 3.0
+  # conservative axon sizing: 4096x64 = 262k differentiated samples/step —
+  # half of every documented worker-fault boundary (CLAUDE.md); uniform
+  # sampling avoids the 1.05M hierarchical step at 8192 rays
+  rays_per_batch: 4096
+  use_occupancy: false
 
 segment:
   modnet_flax: {modnet_flax}
