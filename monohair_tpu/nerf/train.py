@@ -92,11 +92,19 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
     __graft_entry__.dryrun_multichip section 'nerf-train')."""
     field = field or NGPField()
     # occupancy-guided steps only differentiate the num_fine MLP samples
-    # (coarse placement reads the precomputed occ grid, ngp.py:302-322);
-    # uniform steps differentiate num_samples.
+    # (coarse placement reads the precomputed occ grid, ngp.py:302-322) — but
+    # the first `occ_warmup` steps run the UNIFORM block, differentiating
+    # num_samples. Both phases must stay inside the fault boundary (ADVICE
+    # r4: rays=8192, num_samples=128, num_fine=64 passed the old fine-only
+    # guard and then crashed during warmup at 1.05M samples).
+    if use_occupancy:
+        worst = max(num_samples if occ_warmup > 0 else 0, num_fine)
+    else:
+        worst = num_samples
     platform_limits.assert_train_step_shape(
-        rays_per_batch, num_fine if use_occupancy else num_samples,
-        0, scan_block, what="train_nerf")
+        rays_per_batch, worst, 0, scan_block, what="train_nerf")
+    platform_limits.assert_dense_field_safe(
+        field, rays_per_batch, worst, what="train_nerf")
     sparsity_w = float(getattr(field, "sparsity_weight", 0.0))
     if use_remat is None:
         # remat trades the hash encode's multi-GB residuals for recompute;
@@ -112,12 +120,22 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
     tx = optax.chain(optax.clip_by_global_norm(10.0),
                      optax.adam(optax.exponential_decay(
                          lr, total_steps or steps, 0.1)))
+    # warm-start state is (variables, opt_state, occ_grid, steps_done): the
+    # occupancy grid and the warmup counter ride along so a segmented run
+    # (validate_nerf --curve) is exactly one continuous run, not a sequence
+    # of re-warmed ones (ADVICE r4). A legacy 2-tuple still works.
+    steps_done = 0
+    occ_grid = None
     if init_state is not None:
-        variables, opt_state = init_state
+        if len(init_state) == 4:
+            variables, opt_state, occ_grid, steps_done = init_state
+        else:
+            variables, opt_state = init_state
     else:
         variables = field.init(rng, jnp.zeros((8, 3)), jnp.zeros((8, 3)))
         opt_state = tx.init(variables)
-    occ_grid = init_occupancy_grid(occ_resolution if use_occupancy else 1)
+    if occ_grid is None:
+        occ_grid = init_occupancy_grid(occ_resolution if use_occupancy else 1)
 
     F, H, W = ds.images.shape[:3]
     # channel-FIRST on device: a (F, H*W, 3) u8 buffer tile-pads its minor
@@ -218,11 +236,14 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
 
     losses, done, next_log, last_update = [], 0, 0, None
     while done < steps:
-        in_occ = use_occupancy and done >= occ_warmup
+        # warmup accounting is GLOBAL (steps_done carries across warm-started
+        # segments) so a --curve run never re-enters warmup mid-training
+        g = steps_done + done
+        in_occ = use_occupancy and g >= occ_warmup
         n_sub = min(scan_block, steps - done)
         if use_occupancy and not in_occ:
             # stop the warmup block exactly at the occ-phase boundary
-            n_sub = min(n_sub, occ_warmup - done)
+            n_sub = min(n_sub, occ_warmup - g)
         do_update = in_occ and (last_update is None
                                 or done - last_update >= occ_update_every)
         if do_update:
@@ -247,7 +268,9 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
             jax.block_until_ready(blk_losses)
         done += n_sub
     ret = (field, variables, losses, occ_grid if use_occupancy else None)
-    return ret + ((variables, opt_state),) if return_state else ret
+    if return_state:
+        ret = ret + ((variables, opt_state, occ_grid, steps_done + steps),)
+    return ret
 
 
 def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,

@@ -60,6 +60,16 @@ TUNNEL_RECOVERY_SECONDS = 900
 #: Remat around dense-grid renders faults where the plain backward runs.
 DENSE_GRID_REMAT_SAFE = False
 
+#: Dense-grid TRAINING at capture scale is flaky on the axon worker even
+#: inside every boundary above: the 4096x64 (262144-sample) step that
+#: completed a full 1500-step e2e in r3 kernel-faulted twice in the r4
+#: bisect (tools/bisect_stage0a.py) — the backward scatter-add family again.
+#: Refuse dense-grid train steps at/above this size on the TPU backend
+#: unless the user opts in; the fourier field (gather-free) is the
+#: deployable default at capture scale (nerf/pipeline.py DEFAULT_FIELD).
+DENSE_TPU_FLAKY_SAMPLES = 262144
+ALLOW_DENSE_AT_SCALE_ENV = "MONOHAIR_ALLOW_DENSE_AT_SCALE"
+
 
 # -- guard helpers ----------------------------------------------------------
 
@@ -83,6 +93,35 @@ def assert_train_step_shape(rays_per_batch: int, num_samples: int,
         raise ValueError(
             f"{what}: scan_block={scan_block} exceeds the axon scan fault "
             f"boundary ({MAX_TRAIN_SCAN}); platform_limits.MAX_TRAIN_SCAN")
+
+
+def assert_dense_field_safe(field, rays_per_batch: int, num_samples: int,
+                            what: str = "train step") -> None:
+    """Refuse dense-grid training at the known-flaky capture-scale shape on
+    the TPU backend (VERDICT r4 weak #7): a user selecting `ngp.field=dense`
+    at capture scale otherwise re-discovers the worker fault by crashing.
+    Opt back in with MONOHAIR_ALLOW_DENSE_AT_SCALE=1 (the shape IS
+    intermittently runnable — r3's e2e completed on it; r4's bisect crashed
+    it twice). CPU runs and small shapes are unaffected."""
+    import os
+    if not hasattr(field, "tv"):        # dense grid is the only field with tv
+        return
+    total = rays_per_batch * num_samples
+    if total < DENSE_TPU_FLAKY_SAMPLES:
+        return
+    if os.environ.get(ALLOW_DENSE_AT_SCALE_ENV):
+        return
+    import jax
+    if jax.default_backend() == "cpu":
+        return
+    raise ValueError(
+        f"{what}: dense-grid field at {rays_per_batch} x {num_samples} = "
+        f"{total} differentiated samples is a known-flaky axon shape (it "
+        f"kernel-faulted the worker in the r4 bisect at exactly "
+        f"{DENSE_TPU_FLAKY_SAMPLES}). Use ngp.field=fourier (the gather-free "
+        f"default), shrink the step below {DENSE_TPU_FLAKY_SAMPLES} samples, "
+        f"or set {ALLOW_DENSE_AT_SCALE_ENV}=1 to accept the crash risk "
+        f"(platform_limits.DENSE_TPU_FLAKY_SAMPLES)")
 
 
 def chunk_count(n: int, chunk: int = ENCODE_CHUNK) -> int:

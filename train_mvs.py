@@ -182,9 +182,16 @@ def main():
                 entry["pos_neg"] = (np.flatnonzero(targets > 0),
                                     np.flatnonzero(targets == 0))
             pos_i, neg_i = entry["pos_neg"]
-            sel = np.concatenate([
-                pos_i[rng.integers(0, len(pos_i), args.batch // 2)],
-                neg_i[rng.integers(0, len(neg_i), args.batch - args.batch // 2)]])
+            if len(pos_i) == 0 or len(neg_i) == 0:
+                # degenerate case (all-positive or all-negative samples):
+                # fall back to unbalanced sampling instead of crashing on
+                # rng.integers(0, 0) (ADVICE r4)
+                sel = rng.integers(0, len(pts), args.batch)
+            else:
+                sel = np.concatenate([
+                    pos_i[rng.integers(0, len(pos_i), args.batch // 2)],
+                    neg_i[rng.integers(0, len(neg_i),
+                                       args.batch - args.batch // 2)]])
         else:
             sel = rng.integers(0, len(pts), args.batch)
         state, loss = step(state, entry["inputs"].imgs, entry["inputs"].w2c,
