@@ -43,14 +43,23 @@ def render_camera_path_video(field, variables, base_cam_path: str, out_path: str
     writer.release()
 
 
-# Canonical stage-0a workload (single source of truth — bench.py reads these
-# so the measured path and the shipped default path cannot drift; ADVICE r3).
+# Canonical stage-0a workload (single source of truth — bench.py,
+# tools/run_e2e_full.py, tools/validate_nerf.py and the flagship case config
+# all read these, so the measured path and the shipped default path cannot
+# drift; ADVICE r3, VERDICT r4 item 4).
 # 4096 rays keeps every step shape inside platform_limits.MAX_DIFF_SAMPLES:
 # uniform 4096x64 = 262k, hierarchical 4096x(64+64) = 524k (the measured-good
 # boundary).
 DEFAULT_TRAIN_STEPS = 4000
 DEFAULT_RAYS_PER_BATCH = 4096
 DEFAULT_USE_OCCUPANCY = False
+# marching-cubes / marching-tets iso level on the exported 256^3 density
+# grid (bound 1.5). Chosen from the precision/recall-vs-threshold sweep on
+# the analytic capture-scale orbit (tools/validate_nerf.py --thresh-sweep);
+# reference default 2.5 (run.py:272-276).
+DEFAULT_MC_THRESH = 3.0
+DEFAULT_MESH_RES = 256
+DEFAULT_MESH_BOUND = 1.5
 # fourier (nerf/fourier.py): the only field whose train step has NO table
 # gathers or scatter-add backward — the op family implicated in every axon
 # worker fault (r4 bisect, /tmp/bisect_stage0a.log: fourier OK, dense
@@ -130,10 +139,11 @@ def run_ngp_stage(args: Config) -> None:
                                  os.path.join(root, "ngp_video.mp4"))
 
     # mesh export: density grid -> marching tetrahedra -> base.obj (NeRF frame)
-    res = int(args.get("ngp", {}).get("mesh_resolution", 256))
-    bound = 1.5
+    res = int(args.get("ngp", {}).get("mesh_resolution", DEFAULT_MESH_RES))
+    bound = DEFAULT_MESH_BOUND
     grid = density_grid(field, variables, res, bound=bound)
-    thresh = float(args.get("ngp", {}).get("marching_cubes_density_thresh", 3.0))
+    thresh = float(args.get("ngp", {}).get("marching_cubes_density_thresh",
+                                           DEFAULT_MC_THRESH))
     verts_g, faces = marching_tetrahedra(grid, thresh)
     verts_nerf = verts_g / (res - 1) * (2 * bound) - bound
     save_obj(os.path.join(colmap_dir, "base.obj"), verts_nerf, faces)

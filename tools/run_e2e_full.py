@@ -103,11 +103,19 @@ def quality_gates(args) -> dict:
             "strand_mean_points": round(mean_len, 1)}
 
 
+def _default_train_steps():
+    from monohair_tpu.nerf.pipeline import DEFAULT_TRAIN_STEPS
+    return DEFAULT_TRAIN_STEPS
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--case", default="bigsynth")
-    ap.add_argument("--ngp-steps", type=int, default=1500)
-    ap.add_argument("--fit-iters", type=int, default=500)
+    ap.add_argument("--ngp-steps", type=int, default=None,
+                    help="override ngp.train_steps; default = the canonical "
+                         "budget (nerf/pipeline.py DEFAULT_TRAIN_STEPS)")
+    ap.add_argument("--fit-iters", type=int, default=None,
+                    help="override optimize.iter; default = the case config")
     ap.add_argument("--out", default="E2E_FULL.json")
     args_cli = ap.parse_args()
 
@@ -116,11 +124,12 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from monohair_tpu.pipeline.common import resolve_config
-    args = resolve_config([
-        f"--yaml=configs/reconstruct/{args_cli.case}",
-        f"--ngp.train_steps={args_cli.ngp_steps}",
-        f"--optimize.iter={args_cli.fit_iters}",
-    ])
+    overrides = [f"--yaml=configs/reconstruct/{args_cli.case}"]
+    if args_cli.ngp_steps is not None:
+        overrides.append(f"--ngp.train_steps={args_cli.ngp_steps}")
+    if args_cli.fit_iters is not None:
+        overrides.append(f"--optimize.iter={args_cli.fit_iters}")
+    args = resolve_config(overrides)
 
     from monohair_tpu.pipeline.hair_grow_stage import run_hair_grow
     from monohair_tpu.pipeline.infer_inner_stage import run_infer_inner
@@ -163,8 +172,9 @@ def main():
         "completed": all(not isinstance(v, dict) for v in stages.values())
                      and len(stages) == 4,
         "stages": stages,
-        "budgets": {"ngp_steps": args_cli.ngp_steps,
-                    "fit_iters": args_cli.fit_iters,
+        "budgets": {"ngp_steps": int(args.get("ngp", {}).get(
+                        "train_steps", _default_train_steps())),
+                    "fit_iters": int(args.get("optimize", {}).get("iter", 0)),
                     "views": 16, "image_size": list(args.data.image_size)},
         "quality": quality,
         "output": out_hair,

@@ -60,19 +60,37 @@ def make_orbit(num_views, H, W, f, elev=0.2):
     return np.stack(imgs), np.stack(poses)
 
 
-def ball_surface_metrics(field, variables, res=128, bound=1.5, thresh=3.0):
+def export_density(field, variables, res=None, bound=None):
+    """The EXACT grid export the pipeline meshes (nerf/pipeline.py
+    run_ngp_stage: density_grid(res=DEFAULT_MESH_RES, bound=
+    DEFAULT_MESH_BOUND)) so these metrics measure the deployed path
+    (VERDICT r4 item 4)."""
+    from monohair_tpu.nerf.ngp import density_grid
+    from monohair_tpu.nerf.pipeline import DEFAULT_MESH_BOUND, DEFAULT_MESH_RES
+    res = res or DEFAULT_MESH_RES
+    bound = bound or DEFAULT_MESH_BOUND
+    return np.asarray(density_grid(field, variables, res, bound=bound)), bound
+
+
+def ball_surface_metrics(field, variables, res=None, bound=None, thresh=None,
+                         grid=None):
     """Surface precision/recall of the exported density grid vs the analytic
-    ball SHELL. The downstream consumer is marching cubes (mc_thresh~2.5,
-    pipeline.py): what matters is that the density threshold crossing sits on
-    the true surface. A NeRF never observes the interior of an opaque object,
-    so interior voxels are don't-care for precision (a solid-ball IoU would
-    cap at ~0.3 for a perfect field). Returns (precision, recall):
+    ball SHELL. The downstream consumer is marching tets (nerf/pipeline.py
+    DEFAULT_MC_THRESH): what matters is that the density threshold crossing
+    sits on the true surface. A NeRF never observes the interior of an opaque
+    object, so interior voxels are don't-care for precision (a solid-ball IoU
+    would cap at ~0.3 for a perfect field). Returns (precision, recall):
       precision — exterior+shell pred voxels that lie within ~2 voxels of the
                   true surface (floaters / fog outside the ball hurt);
       recall    — GT shell voxels covered by the dilated prediction (holes in
                   the reconstructed surface hurt)."""
-    from monohair_tpu.nerf.ngp import density_grid
-    grid = np.asarray(density_grid(field, variables, res, bound=bound))
+    from monohair_tpu.nerf.pipeline import DEFAULT_MC_THRESH, DEFAULT_MESH_BOUND
+    if thresh is None:
+        thresh = DEFAULT_MC_THRESH
+    if grid is None:
+        grid, bound = export_density(field, variables, res, bound)
+    bound = bound or DEFAULT_MESH_BOUND
+    res = grid.shape[0]
     vox = 2.0 * bound / res
     ax = np.linspace(-bound, bound, res)
     X, Y, Z = np.meshgrid(ax, ax, ax, indexing="ij")
@@ -129,6 +147,21 @@ def main():
                          "segments and print held-out PSNR at each — the "
                          "PSNR-vs-steps convergence evidence for the stage0a "
                          "budget (VERDICT r3 item 2), from one run")
+    ap.add_argument("--save-grid", default="",
+                    help="npz path: save the pipeline-exact 256^3 density "
+                         "export for offline analysis")
+    ap.add_argument("--thresh-sweep", default="",
+                    help="comma-separated density thresholds: after training "
+                         "print surface P/R at each over ONE pipeline-exact "
+                         "256^3 export (the marching_cubes_density_thresh "
+                         "tuning evidence, VERDICT r4 item 3)")
+    ap.add_argument("--sparsity", type=float, default=-1.0,
+                    help="override the fourier field's density sparsity "
+                         "prior weight (default field value if <0)")
+    ap.add_argument("--features", type=int, default=0,
+                    help="fourier field num_features override")
+    ap.add_argument("--freq-scale", type=float, default=0.0,
+                    help="fourier field freq_scale override")
     ap.add_argument("--full-grid", action="store_true",
                     help="use the full 14-level/2^19 instant-ngp config; the "
                          "default is the coarse-geometry config (12 levels, "
@@ -147,6 +180,15 @@ def main():
     from monohair_tpu.nerf.pipeline import make_field
     if args.field in ("dense", "fourier"):
         field, tv_weight, lr = make_field(args.field)
+        if args.field == "fourier" and (args.features or args.freq_scale
+                                        or args.sparsity >= 0):
+            from monohair_tpu.nerf.fourier import FourierField
+            base = field
+            field = FourierField(
+                num_features=args.features or base.num_features,
+                freq_scale=args.freq_scale or base.freq_scale,
+                sparsity_weight=(args.sparsity if args.sparsity >= 0
+                                 else base.sparsity_weight))
     elif args.full_grid:
         field, tv_weight, lr = NGPField(), 0.0, 1e-2
     else:
@@ -203,10 +245,22 @@ def main():
     print(f"held-out PSNR at {W}x{H}: {p:.2f} dB (render {t_render:.1f}s)",
           flush=True)
 
-    # mesh quality: density-grid surface precision/recall vs the analytic ball
-    sp, sr = ball_surface_metrics(field, variables)
+    # mesh quality: density-grid surface precision/recall vs the analytic
+    # ball, on the exact 256^3/bound-1.5 export the pipeline meshes
+    grid, bound = export_density(field, variables)
+    if args.save_grid:
+        np.savez_compressed(args.save_grid, grid=grid, bound=bound,
+                            radius=RADIUS)
+        print(f"saved density grid to {args.save_grid}")
+    sp, sr = ball_surface_metrics(field, variables, grid=grid, bound=bound)
     print(f"density surface precision/recall vs analytic ball: "
           f"{sp:.3f}/{sr:.3f}")
+    if args.thresh_sweep:
+        for th in (float(s) for s in args.thresh_sweep.split(",")):
+            tp, tr = ball_surface_metrics(field, variables, grid=grid,
+                                          bound=bound, thresh=th)
+            print(f"THRESH {th:g}: surf_prec={tp:.3f} surf_rec={tr:.3f}",
+                  flush=True)
     print(f"SUMMARY steps={done} train_s={t_train:.0f} psnr={p:.2f} "
           f"surf_prec={sp:.3f} surf_rec={sr:.3f}")
 
