@@ -516,7 +516,7 @@ def run_stage(name: str) -> None:
     print(_RESULT_TAG + json.dumps(res), flush=True)
 
 
-def _run_stage_subprocess(name: str) -> dict:
+def _run_stage_subprocess(name: str, timeout: float = STAGE_TIMEOUT) -> dict:
     """Run one stage in a fresh process (a worker crash poisons the crashing
     process's TPU client — isolation is the only way a later stage survives
     an earlier crash). Returns the stage dict or {"error": ...}."""
@@ -525,9 +525,9 @@ def _run_stage_subprocess(name: str) -> dict:
     try:
         proc = subprocess.run(
             [sys.executable, __file__, "--stage", name],
-            capture_output=True, text=True, timeout=STAGE_TIMEOUT)
+            capture_output=True, text=True, timeout=timeout)
     except subprocess.TimeoutExpired:
-        return {"error": f"timeout after {STAGE_TIMEOUT}s (wedged tunnel?)"}
+        return {"error": f"timeout after {timeout:.0f}s (wedged tunnel?)"}
     for line in proc.stdout.splitlines():
         if line.startswith(_RESULT_TAG):
             return json.loads(line[len(_RESULT_TAG):])
@@ -535,28 +535,7 @@ def _run_stage_subprocess(name: str) -> dict:
     return {"error": f"rc={proc.returncode}: " + " | ".join(tail)[-500:]}
 
 
-def main():
-    from monohair_tpu.platform_limits import wait_for_device
-    results, order = {}, list(STAGES)
-    for name in order:
-        # probe the tunnel with a fresh-process matmul first; after a crash
-        # it stays dead ~5 min (CLAUDE.md) — wait rather than burn the stage
-        if not wait_for_device(max_wait=1200.0, poll=60.0):
-            results[name] = {"error": "device probe never succeeded"}
-            print(f"# {name}: SKIPPED (tunnel dead)", flush=True)
-            continue
-        res = _run_stage_subprocess(name)
-        if "error" in res:
-            print(f"# {name}: FAILED ({res['error'][:120]}); "
-                  f"waiting out recovery window and retrying once", flush=True)
-            if wait_for_device(max_wait=1200.0, poll=60.0):
-                res = _run_stage_subprocess(name)
-        results[name] = res
-        if "seconds" in res:
-            print(f"# {name}: {res['seconds']:.1f}s", flush=True)
-        else:
-            print(f"# {name}: ERROR {res.get('error', '?')[:200]}", flush=True)
-
+def _final_record(results: dict, order: list, budget: float) -> dict:
     measured = {n: r for n, r in results.items() if "seconds" in r}
     e2e = sum(r["seconds"] for r in measured.values())
     stages = {}
@@ -565,15 +544,101 @@ def main():
             key = n if k == "seconds" else k
             stages[key] = round(v, 4) if isinstance(v, float) else v
     stages["stages_failed"] = [n for n in order if n not in measured]
-    print(json.dumps({
+    return {
         "metric": "e2e_capture_scale_seconds",
         "value": round(e2e, 1),
         "unit": "s",
         "vs_baseline": (round(NORTH_STAR_SECONDS / e2e, 2)
                         if e2e > 0 and len(measured) == len(order) else 0.0),
         "complete": len(measured) == len(order),
+        "budget_seconds": budget,
         "stages": stages,
-    }))
+    }
+
+
+def main():
+    """Per-stage crash isolation under a GLOBAL wall-clock budget (VERDICT r4
+    weak #2: unbounded per-stage recovery waits outlived the round-4 driver
+    window, rc=124 and no artifact). Every stage result is streamed to
+    --partial-out as it completes, and the final JSON line is emitted no
+    matter what — on budget exhaustion and on SIGTERM — with explicit
+    per-stage errors instead of a dead silence."""
+    import argparse
+    import os
+    import signal
+
+    from monohair_tpu.platform_limits import wait_for_device
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--budget-seconds", type=float, default=float(
+        os.environ.get("MONOHAIR_BENCH_BUDGET", 1320.0)))
+    ap.add_argument("--partial-out", default="BENCH_partial.json")
+    a = ap.parse_args()
+    deadline = time.monotonic() + a.budget_seconds
+
+    results, order = {}, list(STAGES)
+    emitted = []
+
+    def write_partial():
+        try:
+            with open(a.partial_out, "w") as f:
+                json.dump(_final_record(results, order, a.budget_seconds), f,
+                          indent=1)
+        except OSError:
+            pass
+
+    def emit_final():
+        if emitted:
+            return
+        emitted.append(True)
+        for n in order:
+            results.setdefault(n, {"error": "skipped: bench budget exhausted"})
+        write_partial()
+        print(json.dumps(_final_record(results, order, a.budget_seconds)),
+              flush=True)
+
+    def on_term(signum, frame):  # the driver's `timeout` sends SIGTERM first
+        for n in order:
+            results.setdefault(n, {"error": "skipped: SIGTERM (driver budget)"})
+        emit_final()
+        raise SystemExit(1)
+
+    signal.signal(signal.SIGTERM, on_term)
+
+    for name in order:
+        remaining = deadline - time.monotonic()
+        if remaining < 90:
+            results[name] = {"error": "skipped: bench budget exhausted"}
+            print(f"# {name}: SKIPPED (budget exhausted)", flush=True)
+            continue
+        # probe the tunnel with a fresh-process matmul first; after a crash
+        # it stays dead ~5 min (CLAUDE.md) — wait, but never past the budget
+        if not wait_for_device(max_wait=min(600.0, remaining - 60.0),
+                               poll=60.0):
+            results[name] = {"error": "skipped: tunnel_dead"}
+            print(f"# {name}: SKIPPED (tunnel dead)", flush=True)
+            write_partial()
+            continue
+        stage_cap = min(STAGE_TIMEOUT,
+                        max(60.0, deadline - time.monotonic() - 30.0))
+        res = _run_stage_subprocess(name, timeout=stage_cap)
+        if "error" in res:
+            remaining = deadline - time.monotonic()
+            print(f"# {name}: FAILED ({res['error'][:120]}); "
+                  f"{remaining:.0f}s budget left", flush=True)
+            if remaining > 300 and wait_for_device(
+                    max_wait=min(600.0, remaining - 120.0), poll=60.0):
+                res = _run_stage_subprocess(name, timeout=min(
+                    STAGE_TIMEOUT,
+                    max(60.0, deadline - time.monotonic() - 30.0)))
+        results[name] = res
+        write_partial()
+        if "seconds" in res:
+            print(f"# {name}: {res['seconds']:.1f}s", flush=True)
+        else:
+            print(f"# {name}: ERROR {res.get('error', '?')[:200]}", flush=True)
+
+    emit_final()
 
 
 if __name__ == "__main__":
