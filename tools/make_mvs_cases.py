@@ -26,25 +26,37 @@ HEAD_R = 0.095
 HEAD_C = np.array([0.0, -0.02, 0.0])
 
 
-def make_varied_wig(rng, num_strands=2000, num_pts=90):
-    """Strands grown from the upper head sphere with per-case style knobs."""
-    curl = rng.uniform(0.0, 2.2)           # spiral strength
-    length = rng.uniform(0.10, 0.22)
-    tilt = rng.uniform(-0.35, 0.35)        # comb direction lean (radians)
-    wave = rng.uniform(0.0, 0.05)
+def make_varied_wig(rng, num_strands=2000, num_pts=90, shifted=False,
+                    head_r=HEAD_R, head_c=HEAD_C):
+    """Strands grown from the upper head sphere with per-case style knobs.
+
+    shifted=True draws every knob from ranges OUTSIDE the training family
+    (VERDICT r4 item 6): tighter curls, longer/wavier strands, stronger comb
+    lean, sparser/denser counts — a distribution-shifted holdout so reported
+    metrics measure generalization, not generator memorization."""
+    if shifted:
+        curl = rng.uniform(2.4, 3.6)       # training family tops out at 2.2
+        length = rng.uniform(0.24, 0.34)   # vs 0.10-0.22
+        tilt = rng.uniform(0.38, 0.60) * rng.choice([-1.0, 1.0])  # vs +-0.35
+        wave = rng.uniform(0.07, 0.14)     # vs 0.00-0.05
+    else:
+        curl = rng.uniform(0.0, 2.2)       # spiral strength
+        length = rng.uniform(0.10, 0.22)
+        tilt = rng.uniform(-0.35, 0.35)    # comb direction lean (radians)
+        wave = rng.uniform(0.0, 0.05)
     step = length / num_pts
     # roots on the polar cap
     u = rng.normal(size=(num_strands, 3))
     u /= np.linalg.norm(u, axis=-1, keepdims=True)
     u[:, 1] = np.abs(u[:, 1]) * 1.6 + 0.4
     u /= np.linalg.norm(u, axis=-1, keepdims=True)
-    p = HEAD_C + u * HEAD_R
+    p = head_c + u * head_r
     phase = rng.uniform(0, 2 * np.pi, num_strands)
     out = np.empty((num_strands, num_pts, 3), np.float32)
     tl = np.array([math.sin(tilt), 0.0, 0.0])
     for i in range(num_pts):
         out[:, i] = p
-        r = p - HEAD_C
+        r = p - head_c
         rn = r / np.maximum(np.linalg.norm(r, axis=-1, keepdims=True), 1e-9)
         down = np.array([0.0, -1.0, 0.0]) + tl
         # project 'down' onto the local tangent plane while near the scalp,
@@ -59,13 +71,13 @@ def make_varied_wig(rng, num_strands=2000, num_pts=90):
     return [out[k] for k in range(num_strands)]
 
 
-def head_mesh(subdiv=20):
+def head_mesh(subdiv=20, head_r=HEAD_R, head_c=HEAD_C):
     th = np.linspace(0, np.pi, subdiv + 1)[1:-1]
     ph = np.linspace(0, 2 * np.pi, 2 * subdiv, endpoint=False)
     T, P = np.meshgrid(th, ph, indexing="ij")
     ring = np.stack([np.sin(T) * np.cos(P), np.cos(T), np.sin(T) * np.sin(P)],
                     -1).reshape(-1, 3)
-    verts = np.concatenate([[[0, 1, 0]], ring, [[0, -1, 0]]], 0) * HEAD_R + HEAD_C
+    verts = np.concatenate([[[0, 1, 0]], ring, [[0, -1, 0]]], 0) * head_r + head_c
     nph = len(ph)
     faces = []
     for j in range(nph):
@@ -98,7 +110,7 @@ def ring_cameras(V, fx, fy):
     return Cameras.from_json_list(cams), cams
 
 
-def main(out_root, n_cases=12, n_views=16, size=256):
+def main(out_root, n_cases=12, n_views=16, size=256, shifted=False):
     import jax
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     import jax.numpy as jnp
@@ -112,12 +124,21 @@ def main(out_root, n_cases=12, n_views=16, size=256):
     cams, cam_list = ring_cameras(n_views, fx, fy)
     with open(os.path.join(out_root, "cam_params.json"), "w") as f:
         json.dump({"cam_list": cam_list}, f)
-    hv, hf = head_mesh()
 
     for c in range(n_cases):
-        rng = np.random.default_rng(1000 + c)
+        # shifted cases use a DIFFERENT seed block so no base-case RNG stream
+        # is ever reused, plus out-of-family style/geometry knobs
+        rng = np.random.default_rng((5000 if shifted else 1000) + c)
         case_dir = os.path.join(out_root, f"case{c:03d}")
-        strands = make_varied_wig(rng)
+        if shifted:
+            head_r = float(rng.uniform(0.082, 0.110))      # vs fixed 0.095
+            head_c = HEAD_C + np.array([0.0, rng.uniform(-0.015, 0.015), 0.0])
+            n_strands = int(rng.choice([700, 1200, 3200, 4000]))  # vs 2000
+        else:
+            head_r, head_c, n_strands = HEAD_R, HEAD_C, 2000
+        hv, hf = head_mesh(head_r=head_r, head_c=head_c)
+        strands = make_varied_wig(rng, num_strands=n_strands, shifted=shifted,
+                                  head_r=head_r, head_c=head_c)
         pts = np.concatenate([s[:-1] for s in strands])
         tang = np.concatenate([s[1:] - s[:-1] for s in strands])
         tang /= np.maximum(np.linalg.norm(tang, axis=-1, keepdims=True), 1e-9)
