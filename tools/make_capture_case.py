@@ -169,7 +169,17 @@ def main(data_root, case="bigsynth"):
 
     f_pix = (H / 2) / math.tan(math.radians(FOV_Y) / 2)
     angles = [2 * math.pi * j / N_FRAMES for j in range(N_FRAMES)]
-    poses = [orbit_pose(a) for a in angles]
+    # Multi-height capture, like the reference's handheld orbit video
+    # (/root/reference/readme.md:45-52): EVEN frames stay on the low ring —
+    # they are the MVS rig (every 2nd frame below) and the trained MVS nets
+    # expect ring viewpoints — ODD frames alternate two raised tiers so the
+    # NGP stage actually observes the hair crown face-on instead of at
+    # grazing incidence (r5 chip analysis: grazing-only bands reconstruct
+    # at near-zero recall and starve PMVO of crown candidates).
+    odd_tiers = (0.6, 1.1)
+    poses = [orbit_pose(a, elev=(0.12 if j % 2 == 0
+                                 else odd_tiers[(j // 2) % 2]))
+             for j, a in enumerate(angles)]
 
     frames = []
     print(f"rendering {N_FRAMES} views at {W}x{H}...", flush=True)

@@ -24,7 +24,15 @@ LIGHT = np.array([0.5, 0.8, 0.3]) / np.linalg.norm([0.5, 0.8, 0.3])
 
 
 def analytic_view(c2w, H, W, f):
-    """Ray-traced lambertian ball on dark gray background."""
+    """Ray-traced textured lambertian ball on dark gray background.
+
+    The shading floor and procedural texture matter: with pure directional
+    light (ambient 0.1) the ball's dark side renders at ~0.03-0.08 — within
+    noise of the 0.05 background — and the r5 chip analysis showed recall
+    loss tracking the LIGHT azimuth, not camera coverage: geometry that is
+    photometrically invisible is unreconstructable by ANY radiance field.
+    Real capture subjects (hair under room lighting) have texture and
+    ambient everywhere, so the benchmark scene must too."""
     rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     x = (cols + 0.5 - W / 2) / f
     y = -(rows + 0.5 - H / 2) / f
@@ -37,17 +45,36 @@ def analytic_view(c2w, H, W, f):
     t = -b - np.sqrt(np.maximum(disc, 0))
     p = o + d * t[..., None]
     n = p / RADIUS
-    shade = np.clip(n @ LIGHT, 0, 1) * 0.9 + 0.1
+    shade = np.clip(n @ LIGHT, 0, 1) * 0.55 + 0.45
+    # smooth spherical texture: gives every surface patch a multi-view
+    # correspondence signal (like hair strand texture), NeRF-friendly freqs
+    phi = np.arctan2(n[..., 2], n[..., 0])
+    theta = np.arcsin(np.clip(n[..., 1], -1, 1))
+    tex = 0.75 + 0.25 * np.sin(6 * phi) * np.cos(5 * theta)
     img = np.full((H, W, 3), 0.05, np.float32)
-    img[hit] = (ALBEDO[None] * shade[hit, None]).astype(np.float32)
+    img[hit] = (ALBEDO[None] * (shade * tex)[hit, None]).astype(np.float32)
     return img
 
 
-def make_orbit(num_views, H, W, f, elev=0.2):
+# Elevation tiers of the capture spiral (heights at unit orbit radius →
+# camera elevation angles ≈ -11°/6°/24°/40°). The reference pipeline's input
+# is a handheld video circling the head at multiple heights
+# (/root/reference/readme.md:45-52: "a video captured around the head"); a
+# single-elevation ring leaves the low-elevation surface band observed only
+# at grazing incidence, which no radiance field can localize — the r4 chip
+# sweep measured 100% recall loss below -45° elevation on a ring orbit.
+ORBIT_TIERS = (-0.2, 0.1, 0.45, 0.85)
+
+
+def make_orbit(num_views, H, W, f, tiers=ORBIT_TIERS):
+    """Spiral capture: consecutive views advance azimuth AND cycle elevation
+    tiers, mimicking a real multi-height orbit video."""
     imgs, poses = [], []
     for v in range(num_views):
         a = 2 * math.pi * v / num_views
-        eye = np.array([math.cos(a), elev, math.sin(a)]) * 1.6
+        elev = tiers[v % len(tiers)]
+        eye = np.array([math.cos(a), elev, math.sin(a)])
+        eye = eye / np.linalg.norm(eye) * 1.6
         fwd = -eye / np.linalg.norm(eye)
         up = np.array([0, 1.0, 0])
         right = np.cross(fwd, up)
@@ -72,14 +99,32 @@ def export_density(field, variables, res=None, bound=None):
     return np.asarray(density_grid(field, variables, res, bound=bound)), bound
 
 
+def observable_shell_mask(pts, poses, margin=0.15):
+    """Which surface points any camera observes at usable incidence. Exact
+    for the convex ball: point p with outward normal n=p/|p| is visible from
+    camera center c iff n·(c-p) > 0; `margin` additionally requires incidence
+    better than ~81° (cos > 0.15) — a Lambertian element seen only at a more
+    grazing angle contributes ~nothing photometrically, so NO radiance-field
+    method (the reference's instant-ngp included) can localize it."""
+    n = pts / np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
+    seen = np.zeros(len(pts), bool)
+    for c2w in poses:
+        v = np.asarray(c2w)[:3, 3][None] - pts
+        v /= np.maximum(np.linalg.norm(v, axis=-1, keepdims=True), 1e-9)
+        seen |= (n * v).sum(-1) > margin
+    return seen
+
+
 def ball_surface_metrics(field, variables, res=None, bound=None, thresh=None,
-                         grid=None):
+                         grid=None, poses=None):
     """Surface precision/recall of the exported density grid vs the analytic
     ball SHELL. The downstream consumer is marching tets (nerf/pipeline.py
     DEFAULT_MC_THRESH): what matters is that the density threshold crossing
     sits on the true surface. A NeRF never observes the interior of an opaque
     object, so interior voxels are don't-care for precision (a solid-ball IoU
-    would cap at ~0.3 for a perfect field). Returns (precision, recall):
+    would cap at ~0.3 for a perfect field). Returns (precision, recall)
+    — plus recall over the observable shell (observable_shell_mask) when
+    `poses` is given:
       precision — exterior+shell pred voxels that lie within ~2 voxels of the
                   true surface (floaters / fog outside the ball hurt);
       recall    — GT shell voxels covered by the dilated prediction (holes in
@@ -108,9 +153,15 @@ def ball_surface_metrics(field, variables, res=None, bound=None, thresh=None,
     shell_d = dilate3(shell)
     pred_d = dilate3(pred)
     pred_outer = pred & ~interior
-    precision = (pred_outer & shell_d).sum() / max(pred_outer.sum(), 1)
-    recall = (pred_d & shell).sum() / max(shell.sum(), 1)
-    return float(precision), float(recall)
+    precision = float((pred_outer & shell_d).sum() / max(pred_outer.sum(), 1))
+    hit = pred_d & shell
+    recall = float(hit.sum() / max(shell.sum(), 1))
+    if poses is None:
+        return precision, recall
+    pts = np.stack([X[shell], Y[shell], Z[shell]], -1)
+    obs = observable_shell_mask(pts, poses)
+    recall_obs = float(hit[shell][obs].sum() / max(obs.sum(), 1))
+    return precision, recall, recall_obs
 
 
 def main():
@@ -197,7 +248,8 @@ def main():
 
     H, W = args.height, args.width
     f = 0.5 * W  # ~53 deg hfov
-    cache = f"/tmp/nerf_orbit_{args.views + 1}_{W}x{H}.npz"
+    tier_tag = "_".join(f"{t:g}" for t in ORBIT_TIERS)
+    cache = f"/tmp/nerf_orbit_tex_sp{tier_tag}_{args.views + 1}_{W}x{H}.npz"
     if os.path.exists(cache):
         z = np.load(cache)
         imgs, poses = z["imgs"], z["poses"]
@@ -229,10 +281,10 @@ def main():
         if len(checkpoints) > 1:
             rgb, _ = render_image(field, variables, test_pose, H, W,
                                   f, f, W / 2, H / 2, occ_grid=occ_grid)
-            sp, sr = ball_surface_metrics(field, variables)
+            sp, sr, so = ball_surface_metrics(field, variables, poses=poses)
             print(f"CURVE steps={cp} train_s={t_train:.0f} "
                   f"psnr={psnr(np.clip(rgb, 0, 1), test_img):.2f} "
-                  f"surf_prec={sp:.3f} surf_rec={sr:.3f}",
+                  f"surf_prec={sp:.3f} surf_rec={sr:.3f} surf_rec_obs={so:.3f}",
                   flush=True)
     print(f"trained {done} steps in {t_train:.0f}s, losses {losses}",
           flush=True)
@@ -252,17 +304,19 @@ def main():
         np.savez_compressed(args.save_grid, grid=grid, bound=bound,
                             radius=RADIUS)
         print(f"saved density grid to {args.save_grid}")
-    sp, sr = ball_surface_metrics(field, variables, grid=grid, bound=bound)
+    sp, sr, so = ball_surface_metrics(field, variables, grid=grid,
+                                      bound=bound, poses=poses)
     print(f"density surface precision/recall vs analytic ball: "
-          f"{sp:.3f}/{sr:.3f}")
+          f"{sp:.3f}/{sr:.3f} (recall over observable shell: {so:.3f})")
     if args.thresh_sweep:
         for th in (float(s) for s in args.thresh_sweep.split(",")):
-            tp, tr = ball_surface_metrics(field, variables, grid=grid,
-                                          bound=bound, thresh=th)
-            print(f"THRESH {th:g}: surf_prec={tp:.3f} surf_rec={tr:.3f}",
-                  flush=True)
+            tp, tr, to = ball_surface_metrics(field, variables, grid=grid,
+                                              bound=bound, thresh=th,
+                                              poses=poses)
+            print(f"THRESH {th:g}: surf_prec={tp:.3f} surf_rec={tr:.3f} "
+                  f"surf_rec_obs={to:.3f}", flush=True)
     print(f"SUMMARY steps={done} train_s={t_train:.0f} psnr={p:.2f} "
-          f"surf_prec={sp:.3f} surf_rec={sr:.3f}")
+          f"surf_prec={sp:.3f} surf_rec={sr:.3f} surf_rec_obs={so:.3f}")
 
 
 if __name__ == "__main__":
