@@ -42,7 +42,10 @@ def vertex_normals(verts: jnp.ndarray, faces: np.ndarray) -> jnp.ndarray:
     n = jnp.zeros_like(verts)
     for k in range(3):
         n = n.at[faces[:, k]].add(fn)
-    return n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-12)
+    # eps inside the sqrt: norm(0)'s backward is NaN and maximum can't stop
+    # it (same where-backward trap as _soft_fragments.elen) — an isolated or
+    # fully-degenerate vertex otherwise poisons the whole image-loss grad
+    return n / jnp.sqrt(jnp.sum(n * n, -1, keepdims=True) + 1e-24)
 
 
 @partial(jax.jit, static_argnames=("image_size", "window", "scale"))
@@ -74,12 +77,21 @@ def _soft_fragments(cam: Cameras, v0, v1, v2, image_size, window: int,
     area = edge(b, c, a[..., None, :])[..., 0]               # (V, F)
     sgn = jnp.where(area >= 0, 1.0, -1.0)[..., None]         # handle either winding
     area_abs = jnp.maximum(jnp.abs(area), 1e-9)[..., None]
-    l0, l1, l2 = (w0 / area[..., None], w1 / area[..., None], w2 / area[..., None])
+    # barycentrics over the SIGN-SAFE area: a degenerate face (area==0) is
+    # masked out of the forward by `valid` below, but dividing by the raw
+    # area still produces inf/NaN here and jnp.where cannot stop NaN in the
+    # BACKWARD — with optax.zero_nans that silently froze the whole bust fit
+    # (r5 e2e: loss bit-identical for 500 iters). Clamp |area| at the source.
+    area_safe = sgn * area_abs
+    l0, l1, l2 = (w0 / area_safe, w1 / area_safe, w2 / area_safe)
 
     # signed pixel distance to the triangle boundary: min over edges of the
     # edge-function value normalized by edge length (exact in edge regions).
     def elen(p, q):
-        return jnp.maximum(jnp.linalg.norm(q - p, axis=-1), 1e-9)[..., None]
+        # eps INSIDE the sqrt: jnp.linalg.norm(0)'s backward is 0/0 = NaN
+        # and jnp.maximum cannot stop it (third where-backward trap here)
+        sq = jnp.sum((q - p) ** 2, -1)
+        return jnp.sqrt(sq + 1e-18)[..., None]
 
     d = jnp.minimum(jnp.minimum(sgn * w0 / elen(b, c), sgn * w1 / elen(c, a)),
                     sgn * w2 / elen(a, b))                   # (V, F, P), px units
@@ -185,7 +197,13 @@ def soft_render_colors(cam: Cameras, verts: jnp.ndarray, faces: np.ndarray,
         col = (b3[..., 0:1] * c0[:, :, None] + b3[..., 1:2] * c1[:, :, None]
                + b3[..., 2:3] * c2[:, :, None]).reshape(V, -1, C)
         mg = jnp.take_along_axis(m, flat, axis=1)
-        w = jnp.where(valid, D * jnp.exp((zn - mg) / gamma), 0.0)
+        # exponent clamp: every VALID fragment has zn <= mg (mg is the
+        # scatter-max over valid zn at that pixel) so clamping at 0 is a
+        # no-op on the forward — but an INVALID fragment (zn > all valid)
+        # otherwise overflows exp to inf, and jnp.where cannot stop inf*0
+        # = NaN in the backward (same trap as the area division above).
+        ex = jnp.exp(jnp.minimum((zn - mg) / gamma, 0.0))
+        w = jnp.where(valid, D * ex, 0.0)
         num = jax.vmap(lambda a, p, x: a.at[p].add(x))(num, flat, w[..., None] * col)
         den = jax.vmap(lambda a, p, x: a.at[p].add(x))(den, flat, w)
     img = num / jnp.maximum(den, 1e-12)[..., None]

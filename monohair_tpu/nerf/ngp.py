@@ -185,8 +185,16 @@ def ray_aabb(o: jnp.ndarray, d: jnp.ndarray, lo: float = -1.5, hi: float = 1.5
 
 def render_rays(field: NGPField, variables, o: jnp.ndarray, d: jnp.ndarray,
                 num_samples: int = 192, rng: Optional[jax.Array] = None,
-                bound: float = 1.5) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+                bound: float = 1.5, background: Optional[jnp.ndarray] = None
+                ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Stratified uniform sampling + emission-absorption compositing.
+
+    `background` (3,) is composited behind the volume: rgb += (1-opacity)*bg
+    (instant-ngp's --background_color). Without it, a capture whose backdrop
+    is bright but has NO geometry inside the bound is unexplainable — the
+    optimizer fabricates in-volume fog to fake the backdrop, the sparsity
+    prior fights it, and the loss floors (~9e-3 at bg 0.92) while the real
+    surface density never clears the mesh threshold (r4/r5 e2e failure).
 
     Returns (rgb (N,3), depth (N,), opacity (N,)). Depth is the expected
     distance along the (unit) ray direction.
@@ -213,6 +221,8 @@ def render_rays(field: NGPField, variables, o: jnp.ndarray, d: jnp.ndarray,
     rgb_out = jnp.sum(w[..., None] * rgb, 1)
     depth = jnp.sum(w * t, 1)
     opacity = jnp.sum(w, 1)
+    if background is not None:
+        rgb_out = rgb_out + (1.0 - opacity)[:, None] * background
     return rgb_out, depth, opacity
 
 
@@ -302,7 +312,7 @@ def occupancy_sample_ts(values: jnp.ndarray, o: jnp.ndarray, d: jnp.ndarray,
 def render_rays_occ(field: NGPField, variables, values: jnp.ndarray,
                     o: jnp.ndarray, d: jnp.ndarray, num_coarse: int = 128,
                     num_fine: int = 64, rng: Optional[jax.Array] = None,
-                    bound: float = 1.5
+                    bound: float = 1.5, background: Optional[jnp.ndarray] = None
                     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Occupancy-guided volume rendering: same compositing as render_rays but
     with S_fine MLP evaluations placed by the grid instead of S uniform ones."""
@@ -319,7 +329,11 @@ def render_rays_occ(field: NGPField, variables, values: jnp.ndarray,
     trans = jnp.cumprod(1.0 - alpha + 1e-10, -1)
     trans = jnp.concatenate([jnp.ones_like(trans[:, :1]), trans[:, :-1]], -1)
     w = alpha * trans
-    return (jnp.sum(w[..., None] * rgb, 1), jnp.sum(w * t, 1), jnp.sum(w, 1))
+    rgb_out = jnp.sum(w[..., None] * rgb, 1)
+    opacity = jnp.sum(w, 1)
+    if background is not None:
+        rgb_out = rgb_out + (1.0 - opacity)[:, None] * background
+    return rgb_out, jnp.sum(w * t, 1), opacity
 
 
 def density_grid(field: NGPField, variables, resolution: int = 256,

@@ -23,7 +23,7 @@ from .train import load_nerf_dataset, render_image, train_nerf
 
 def render_camera_path_video(field, variables, base_cam_path: str, out_path: str,
                              H: int = 720, W: int = 1280, frames_per_seg: int = 12,
-                             fps: int = 24) -> None:
+                             fps: int = 24, background=None) -> None:
     """Render a fly-through along the camera path and write an mp4
     (the NGP driver's video mode, run.py:307-341), interpolating between the
     path's poses with slerp."""
@@ -38,7 +38,8 @@ def render_camera_path_video(field, variables, base_cam_path: str, out_path: str
             fov = (1 - t) * fovs[i] + t * fovs[i + 1]
             c2w = ngp_pose_to_nerf_c2w(rotm, tr)
             fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
-            rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2)
+            rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2,
+                                  H / 2, background=background)
             writer.write((np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))
     writer.release()
 
@@ -102,6 +103,10 @@ def run_ngp_stage(args: Config) -> None:
     # trees WEDGES the worker right after step 1 — the validated end-to-end
     # run used 4-step blocks).
     scan_block = int(args.get("ngp", {}).get("scan_block", 4))
+    # scene metadata, not a budget knob: backdrop color composited behind
+    # the volume (ngp.render_rays docstring — a bright no-geometry backdrop
+    # is otherwise unexplainable inside the bound and floors the loss)
+    background = args.get("ngp", {}).get("background")
     field, variables, losses, occ_grid = train_nerf(
         ds, steps=steps, field=field, tv_weight=tv_weight, lr=lr,
         use_occupancy=bool(args.get("ngp", {}).get("use_occupancy",
@@ -109,7 +114,7 @@ def run_ngp_stage(args: Config) -> None:
         occ_resolution=int(args.get("ngp", {}).get("occ_resolution", 128)),
         rays_per_batch=int(args.get("ngp", {}).get("rays_per_batch",
                                                    DEFAULT_RAYS_PER_BATCH)),
-        scan_block=scan_block, verbose=True,
+        scan_block=scan_block, verbose=True, background=background,
         log_every=int(args.get("ngp", {}).get("log_every", 100)))
     print(f"[ngp] trained {steps} steps, loss curve: {losses}")
 
@@ -124,7 +129,7 @@ def run_ngp_stage(args: Config) -> None:
         c2w = ngp_pose_to_nerf_c2w(q, t)
         fy = H / 2.0 / math.tan(math.radians(fov) / 2.0)
         rgb, _ = render_image(field, variables, c2w, H, W, fy, fy, W / 2, H / 2,
-                              occ_grid=occ_grid)
+                              occ_grid=occ_grid, background=background)
         name = "%03d" % i
         cv2.imwrite(os.path.join(shot_dir, name + ".png"),
                     (np.clip(rgb, 0, 1)[..., ::-1] * 255).astype(np.uint8))
@@ -136,7 +141,8 @@ def run_ngp_stage(args: Config) -> None:
     if args.get("ngp", {}).get("render_video"):
         render_camera_path_video(field, variables,
                                  os.path.join(colmap_dir, "base_cam.json"),
-                                 os.path.join(root, "ngp_video.mp4"))
+                                 os.path.join(root, "ngp_video.mp4"),
+                                 background=background)
 
     # mesh export: density grid -> marching tetrahedra -> base.obj (NeRF frame)
     res = int(args.get("ngp", {}).get("mesh_resolution", DEFAULT_MESH_RES))

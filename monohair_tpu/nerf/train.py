@@ -72,7 +72,8 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
                tv_weight: float = 0.0, use_remat: Optional[bool] = None,
                sync_every: int = platform_limits.SYNC_EVERY_BLOCKS,
                mesh=None, param_dtype=None, init_state=None,
-               total_steps: Optional[int] = None, return_state: bool = False):
+               total_steps: Optional[int] = None, return_state: bool = False,
+               background=None):
     """Returns (field, variables, losses, occ_grid). After `occ_warmup`
     uniform-sampling steps, maintains an EMA occupancy grid (updated every
     `occ_update_every` steps) and trains through occupancy-guided sampling —
@@ -145,6 +146,11 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
         .astype(np.uint8).transpose(2, 0, 1)))
     c2w_all = jnp.asarray(ds.c2w)
     fx, fy, cx, cy = ds.fx, ds.fy, ds.cx, ds.cy
+    # scene backdrop composited behind the volume (ngp.render_rays docstring:
+    # bright backdrops with no in-bound geometry otherwise floor the loss and
+    # starve the surface density). (3,) constant — fine to close over.
+    bg = (None if background is None
+          else jnp.broadcast_to(jnp.asarray(background, jnp.float32), (3,)))
 
     def one_step(use_occ):
         # remat the whole render: backward re-runs it instead of holding the
@@ -153,8 +159,10 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
             if use_occ:
                 return render_rays_occ(field, variables, grid, o, d,
                                        num_coarse=num_samples,
-                                       num_fine=num_fine, rng=sub)[0]
-            return render_rays(field, variables, o, d, num_samples, sub)[0]
+                                       num_fine=num_fine, rng=sub,
+                                       background=bg)[0]
+            return render_rays(field, variables, o, d, num_samples, sub,
+                               background=bg)[0]
         if use_remat:
             rendered = jax.checkpoint(rendered)
 
@@ -275,11 +283,14 @@ def train_nerf(ds: NerfDataset, steps: int = 4000, rays_per_batch: int = 4096,
 
 def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
                  fx: float, fy: float, cx: float, cy: float,
-                 chunk: int = 16384, occ_grid=None, num_fine: int = 96
-                 ) -> Tuple[np.ndarray, np.ndarray]:
+                 chunk: int = 16384, occ_grid=None, num_fine: int = 96,
+                 background=None) -> Tuple[np.ndarray, np.ndarray]:
     """Full-frame render (rgb, depth) — the screenshot path (run.py:278-305).
     With occ_grid, MLP work drops from 192 uniform to `num_fine` guided
-    samples per ray."""
+    samples per ray. `background` composites a backdrop color behind the
+    volume (must match training for faithful screenshots)."""
+    bg = (None if background is None
+          else jnp.broadcast_to(jnp.asarray(background, jnp.float32), (3,)))
     rows, cols = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
     pix = np.stack([rows, cols], -1).reshape(-1, 2).astype(np.float32)
     n_chunks = -(-len(pix) // chunk)
@@ -299,8 +310,8 @@ def render_image(field: NGPField, variables, c2w: np.ndarray, H: int, W: int,
         o, d = camera_rays(c2w_j, fx, fy, cx, cy, sub)
         if occ_grid is not None:
             return render_rays_occ(field, v, g, o, d, num_coarse=192,
-                                   num_fine=num_fine)[:2]
-        return render_rays(field, v, o, d, 192)[:2]
+                                   num_fine=num_fine, background=bg)[:2]
+        return render_rays(field, v, o, d, 192, background=bg)[:2]
 
     @jax.jit
     def render_frame(v, g, c2w_j, pix_chunks):

@@ -374,3 +374,28 @@ def test_fit_bust_full_survives_hostile_targets(rng):
     import jax
     for leaf in jax.tree_util.tree_leaves(params):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_soft_render_colors_grad_finite_with_degenerate_faces(rng):
+    """NaN-gradient regression (r5 e2e: the bust fit sat bit-identical for
+    500 iters because optax.zero_nans silently ate NaN grads every step).
+    Two jnp.where backward traps in the color raster: barycentrics divided
+    by a raw (possibly zero) triangle area, and the softmax-depth exp
+    overflowing to inf for invalid fragments. Both must stay fixed: grads
+    through a mesh WITH a degenerate face must be finite and nonzero."""
+    from tests.test_camera import make_cameras
+    model = sphere_head_model(subdiv=8)
+    # append a zero-area face (three identical vertex ids)
+    faces = np.concatenate([model.faces, [[0, 0, 0]]], 0)
+    cams = make_cameras(rng, num_views=2)
+    colors = jnp.asarray(
+        np.tile([[0.8, 0.4, 0.2]], (model.v_template.shape[0], 1))
+        .astype(np.float32))
+
+    def render_mean(v):
+        return jnp.mean(soft_render_colors(cams, v, faces, colors, (96, 96),
+                                           scale=4, window=8))
+
+    g = np.asarray(jax.grad(render_mean)(model.v_template))
+    assert np.isfinite(g).all(), "NaN/inf gradient through the color raster"
+    assert np.abs(g).max() > 1e-8

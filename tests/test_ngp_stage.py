@@ -21,8 +21,12 @@ import numpy as np
 import pytest
 
 HEAD_R = 0.72
-CAM_R = 6.67
-FOV_Y = 24.0
+# close wide-fov orbit: the capture case's far-narrow geometry (6.67, 24deg)
+# needs the full-capacity field + thousands of steps to bootstrap density —
+# fine on the chip, not in a CPU test. Close cameras make most rays hit the
+# head, so the reduced field localizes the surface within the test budget.
+CAM_R = 2.0
+FOV_Y = 40.0
 HH = WW = 96
 N_FRAMES = 8
 
@@ -134,6 +138,10 @@ def test_run_ngp_stage_produces_on_surface_mesh(tmp_path, monkeypatch):
         "infer_inner": {"render_size": [48, 64]},
         "ngp": {"train_steps": 1500, "rays_per_batch": 128,
                 "mesh_resolution": mesh_res,
+                # scene metadata: the mini case's backdrop is bright 0.92 —
+                # without the composite, background rays demand in-volume fog
+                # (ngp.render_rays docstring; the r4/r5 e2e failure mode)
+                "background": [0.92, 0.92, 0.92],
                 "log_every": 500, "scan_block": 4},
     })
     npipe.run_ngp_stage(args)

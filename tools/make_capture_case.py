@@ -287,8 +287,14 @@ infer_inner:
 
 # stage-0a budget: inherited from the one canonical definition in
 # nerf/pipeline.py DEFAULT_* (the chip-validated 4000-step fourier budget) —
-# the generated config deliberately writes NO ngp keys so case regeneration
-# can never clobber the validated settings again (VERDICT r4 weak #1/#5)
+# the generated config deliberately writes NO ngp BUDGET keys so case
+# regeneration can never clobber the validated settings again (VERDICT r4
+# weak #1/#5). `background` is SCENE metadata, not budget: this case's
+# backdrop is bright 0.92 with no geometry behind the head — without the
+# composite the NGP loss floors on unexplainable background rays
+# (ngp.render_rays docstring).
+ngp:
+  background: [0.92, 0.92, 0.92]
 
 segment:
   modnet_flax: {modnet_flax}
