@@ -249,8 +249,17 @@ def main(data_root, case="bigsynth"):
     if have_trained:
         modnet_flax = os.path.join(trained, "modnet.npz")
         parser_flax = os.path.join(trained, "bisenet.npz")
-        seg_width = "  modnet_width: 0.5\n  parser_width: 0.5\n"
-        print(f"using trained segmentation weights from {trained}")
+        # the trained width lives beside the weights (train_hair_parser.py
+        # meta.json); hardcoding it here once desynced config from checkpoint
+        meta_path = os.path.join(trained, "meta.json")
+        seg_w = 0.5
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                seg_w = float(json.load(f).get("width", seg_w))
+        seg_width = (f"  modnet_width: {seg_w}\n"
+                     f"  parser_width: {seg_w}\n")
+        print(f"using trained segmentation weights from {trained} "
+              f"(width {seg_w})")
     else:
         modnet_flax = os.path.join(root, "ckpts/modnet.npz")
         parser_flax = os.path.join(root, "ckpts/bisenet.npz")

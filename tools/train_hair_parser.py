@@ -33,7 +33,9 @@ def render_frame(rng):
     """(S, S, 3) uint8 frame + (S, S) uint8 label (0 bg / 1 skin / 17 hair)."""
     import cv2
     img = np.zeros((S, S, 3), np.float32)
-    # background: gradient + clutter
+    # background: gradient + clutter (rectangles, ellipses, lines) plus
+    # skin-colored distractor blobs — hard negatives that force the matte to
+    # key on head/hair structure, not color statistics (VERDICT r4 weak #4)
     g0, g1 = rng.random(3), rng.random(3)
     t = np.linspace(0, 1, S)[:, None, None]
     img[:] = g0 * (1 - t) + g1 * t
@@ -41,7 +43,25 @@ def render_frame(rng):
         x0, y0 = rng.integers(0, S, 2)
         w, h = rng.integers(20, 200, 2)
         img[y0:y0 + h, x0:x0 + w] = rng.random(3)
+    for _ in range(rng.integers(0, 5)):
+        col = np.sort(rng.random(3))[::-1] * rng.uniform(0.5, 1.0)  # skin-ish
+        u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        cv2.ellipse(u8, (int(rng.integers(0, S)), int(rng.integers(0, S))),
+                    (int(rng.integers(15, 120)), int(rng.integers(15, 120))),
+                    float(rng.uniform(0, 180)), 0, 360,
+                    tuple(int(c * 255) for c in col), -1)
+        img = u8.astype(np.float32) / 255.0
+    for _ in range(rng.integers(0, 8)):
+        u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        cv2.line(u8, tuple(rng.integers(0, S, 2)), tuple(rng.integers(0, S, 2)),
+                 tuple(int(c) for c in rng.integers(0, 255, 3)),
+                 int(rng.integers(1, 6)))
+        img = u8.astype(np.float32) / 255.0
     img += rng.normal(0, 0.03, img.shape)
+
+    # ~8% headless frames: the matte must learn to output 0, not a prior blob
+    if rng.random() < 0.08:
+        return finish_frame(img, np.zeros((S, S), np.uint8), rng)
 
     # head placement: radius 8%..35% of frame
     r = rng.uniform(0.08, 0.35) * S
@@ -67,9 +87,17 @@ def render_frame(rng):
     n_up = dx * ux + dy * uy
     polar = np.degrees(np.arccos(np.clip(n_up, -1, 1)))
     shade = np.clip(dx * light[0] - dy * light[1] + nz * light[2], 0, 1) \
-        * 0.7 + 0.3
+        * rng.uniform(0.45, 0.8) + rng.uniform(0.2, 0.45)
     az = np.arctan2(dy, dx)
-    stripes = 0.55 + 0.45 * np.sin(rng.uniform(20, 70) * az)
+    # hair texture family: meridian stripes / near-flat / high-freq noise
+    tex = rng.random()
+    if tex < 0.5:
+        stripes = 0.55 + rng.uniform(0.2, 0.45) * np.sin(
+            rng.uniform(20, 70) * az)
+    elif tex < 0.75:
+        stripes = np.full((S, S), rng.uniform(0.7, 1.0), np.float32)
+    else:
+        stripes = 0.6 + 0.4 * rng.random((S, S)).astype(np.float32)
 
     label = np.zeros((S, S), np.uint8)
     hair = hit & (polar < cap_deg)
@@ -100,7 +128,18 @@ def render_frame(rng):
     img[stro] = hair_col[None] * rng.uniform(0.6, 1.0)
     label[stro] = 17
 
-    return (np.clip(img, 0, 1) * 255).astype(np.uint8), label
+    return finish_frame(img, label, rng)
+
+
+def finish_frame(img, label, rng):
+    """Global photometric jitter: color tint, optional defocus blur."""
+    import cv2
+    img = img * rng.uniform(0.75, 1.0, 3)[None, None]
+    u8 = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    if rng.random() < 0.3:
+        k = int(rng.choice([3, 5]))
+        u8 = cv2.GaussianBlur(u8, (k, k), 0)
+    return u8, label
 
 
 def matte_from_label(label):
@@ -109,14 +148,14 @@ def matte_from_label(label):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--steps", type=int, default=4000)
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--width", type=float, default=0.5)
-    ap.add_argument("--n_train", type=int, default=320)
-    ap.add_argument("--n_eval", type=int, default=32)
+    ap.add_argument("--width", type=float, default=1.0)
+    ap.add_argument("--n_train", type=int, default=640)
+    ap.add_argument("--n_eval", type=int, default=48)
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default="trained/hair_parser")
-    ap.add_argument("--modnet_steps", type=int, default=800)
+    ap.add_argument("--modnet_steps", type=int, default=3000)
     ap.add_argument("--cpu", action="store_true",
                     help="pin the CPU backend (the axon plugin ignores "
                          "JAX_PLATFORMS; smoke-testing off-chip needs this)")
@@ -193,18 +232,38 @@ def main():
                                       jnp.zeros((1, S, S, 3))))()
     mtx = optax.adam(optax.cosine_decay_schedule(args.lr, args.modnet_steps))
 
-    def m_loss(params, stats, x, y):
-        out, new_model = mnet.apply({"params": params, "batch_stats": stats},
-                                    x, mutable=["batch_stats"])
-        matte = out[2][..., 0]
-        return jnp.mean(jnp.abs(matte - y)), new_model["batch_stats"]
+    def m_loss(params, stats, x, y, band):
+        # MODNet's own three-branch objective (semantic MSE at the LR branch's
+        # scale, detail L1 restricted to the boundary band, final matte L1) —
+        # matte-only L1 left the semantic/detail branches untrained and the
+        # matte blurry (r4 stats.txt: MAE 0.19)
+        (sem, det, matte), new_model = mnet.apply(
+            {"params": params, "batch_stats": stats}, x,
+            mutable=["batch_stats"])
+        sem, det, matte = sem[..., 0], det[..., 0], matte[..., 0]
+        sem_gt = jax.image.resize(y, sem.shape, "linear")
+        det_gt = jax.image.resize(y, det.shape, "linear")
+        det_band = jax.image.resize(band, det.shape, "linear")
+        l_sem = jnp.mean((sem - sem_gt) ** 2)
+        l_det = jnp.sum(det_band * jnp.abs(det - det_gt)) / \
+            jnp.maximum(jnp.sum(det_band), 1.0)
+        l_mat = jnp.mean(jnp.abs(matte - y))
+        return l_sem + 10.0 * l_det + l_mat, new_model["batch_stats"]
 
     @jax.jit
-    def m_step(params, stats, opt, x, y):
+    def m_step(params, stats, opt, x, y, band):
         (l, stats), g = jax.value_and_grad(m_loss, has_aux=True)(
-            params, stats, x, y)
+            params, stats, x, y, band)
         up, opt = mtx.update(g, opt)
         return optax.apply_updates(params, up), stats, opt, l
+
+    import cv2
+    kern = np.ones((13, 13), np.uint8)
+
+    def boundary_band(y):
+        """Dilate-minus-erode transition band around each matte edge."""
+        return np.stack([cv2.dilate(m, kern) - cv2.erode(m, kern)
+                         for m in y])
 
     mparams, mstats = mvars["params"], mvars["batch_stats"]
     mopt = mtx.init(mparams)
@@ -213,7 +272,8 @@ def main():
         x = (tr_f[idx].astype(np.float32) / 255.0 - 0.5) / 0.5
         y = matte_from_label(tr_l[idx])
         mparams, mstats, mopt, l = m_step(mparams, mstats, mopt,
-                                          jnp.asarray(x), jnp.asarray(y))
+                                          jnp.asarray(x), jnp.asarray(y),
+                                          jnp.asarray(boundary_band(y)))
         if i % 100 == 0:
             print(f"[matte] step {i}/{args.modnet_steps} loss {float(l):.4f}",
                   flush=True)
@@ -239,6 +299,11 @@ def main():
         f.write(f"hair_iou {iou:.4f}\nmatte_mae {np.mean(mae):.4f}\n"
                 f"steps {args.steps} width {args.width} "
                 f"train {args.n_train} eval {args.n_eval}\n")
+    import json
+    with open(os.path.join(args.out, "meta.json"), "w") as f:
+        # consumed by make_capture_case.py so the generated config's
+        # modnet_width/parser_width always match the shipped checkpoints
+        json.dump({"width": args.width}, f)
 
 
 if __name__ == "__main__":
