@@ -42,6 +42,14 @@ def run_pmvo(args: Config, mesh=None) -> None:
             np.save(os.path.join(save_root, "filter_unvisible.npy"), points[filt])
             points = points[surface]
         print(f"process points: {points.shape[0]}")
+        if points.shape[0] == 0:
+            raise RuntimeError(
+                "PMVO selected 0 visible points — every candidate failed the "
+                "mask/confidence visibility test. Almost always this means "
+                f"the hair masks ({args.data.mask_path}/) are empty or wrong "
+                "(check the segmentation checkpoints against these capture "
+                "images) or conf/ is all below "
+                f"conf_threshold={conf_thr}.")
         pts, ori, loss, _ = optimize_points(maps, points, patch, conf_thr,
                                             mesh=mesh, save_root=save_root)
         filter_unvisible = np.load(os.path.join(save_root, "filter_unvisible.npy"))

@@ -76,7 +76,7 @@ def render_view(c2w, f_pix):
     skin = hit & ~ (polar < HAIR_POLAR_DEG)
     img[skin] = SKIN[None] * shade[skin, None]
     img[hair] = HAIR[None] * (shade[hair] * stripes[hair])[:, None]
-    return img, hair
+    return img, hair, hit
 
 
 def synth_smplx_npz(path, rng, head_verts, head_faces):
@@ -184,7 +184,7 @@ def main(data_root, case="bigsynth"):
     frames = []
     print(f"rendering {N_FRAMES} views at {W}x{H}...", flush=True)
     for j, c2w in enumerate(poses):
-        img, _ = render_view(c2w, f_pix)
+        img, _, _ = render_view(c2w, f_pix)
         name = f"frame_{j:04d}"
         cv2.imwrite(os.path.join(root, "colmap/images", name + ".png"),
                     (img[..., ::-1] * 255).astype(np.uint8))

@@ -142,6 +142,36 @@ def finish_frame(img, label, rng):
     return u8, label
 
 
+def render_case_frame(rng):
+    """A frame in the flagship case's EXACT style (make_capture_case.py
+    render_view: fixed SKIN/HAIR/BG palette, striped cap, orbit camera) —
+    mixed into training so the parser cannot collapse on the pipeline's own
+    images again (r4 post-mortem: checkpoints trained only on the generic
+    domain produced all-zero mattes on the bigsynth case after its
+    background/compositing change)."""
+    import cv2
+
+    from make_capture_case import FOV_Y, H, W, orbit_pose, render_view
+
+    f_pix = (H / 2) / math.tan(math.radians(FOV_Y) / 2)
+    c2w = orbit_pose(rng.uniform(0, 2 * math.pi),
+                     elev=rng.uniform(0.0, 1.2))
+    img, hair, hit = render_view(c2w, f_pix)
+    label = np.zeros((H, W), np.uint8)
+    label[hit] = 1
+    label[hair] = 17
+    # random square crop around the (centered) head, resized to S
+    side = int(rng.uniform(0.6, 1.0) * H)
+    cy = int(np.clip(H // 2 + rng.integers(-80, 80), side // 2, H - side // 2))
+    cx = int(np.clip(W // 2 + rng.integers(-120, 120), side // 2, W - side // 2))
+    sl = (slice(cy - side // 2, cy - side // 2 + side),
+          slice(cx - side // 2, cx - side // 2 + side))
+    img = cv2.resize(img[sl], (S, S), interpolation=cv2.INTER_AREA)
+    label = cv2.resize(label[sl], (S, S), interpolation=cv2.INTER_NEAREST)
+    img = img + rng.normal(0, 0.015, img.shape)
+    return finish_frame(img, label, rng)
+
+
 def matte_from_label(label):
     return (label > 0).astype(np.float32)
 
@@ -176,7 +206,8 @@ def main():
     rng = np.random.default_rng(0)
     print(f"rendering {args.n_train}+{args.n_eval} synthetic frames...",
           flush=True)
-    frames, labels = zip(*[render_frame(rng)
+    frames, labels = zip(*[(render_case_frame(rng) if rng.random() < 0.25
+                            else render_frame(rng))
                            for _ in range(args.n_train + args.n_eval)])
     frames = np.stack(frames)
     labels = np.stack(labels)
