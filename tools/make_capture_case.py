@@ -163,6 +163,26 @@ def main(data_root, case="bigsynth"):
 
     root = os.path.join(data_root, case)
     rng = np.random.default_rng(7)
+
+    # Regenerating in place must NOT leave pipeline-derived artifacts from a
+    # previous run behind: the stages are idempotent (segment/pipeline.py
+    # skips when hair_mask/ is complete, annotations cache under optimize/),
+    # so stale outputs computed with old checkpoints would silently shadow
+    # the fresh case. Purge everything the PIPELINE writes; keep only what
+    # this generator authors (colmap/, assets/, ckpts/, capture_images,
+    # calib_cam_params.json).
+    import shutil
+    derived = ("Bust", "Ori", "best_ori", "conf", "hair_mask", "imgs",
+               "mask", "mask_hair", "optimize", "output", "ours",
+               "render_depth", "trainning_images", "model_tsfm.dat",
+               "model_tsfm_semantic.dat")
+    for d in derived:
+        p = os.path.join(root, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        elif os.path.exists(p):
+            os.remove(p)
+
     os.makedirs(os.path.join(root, "colmap/images"), exist_ok=True)
     for sub in ("ours", "assets", "ckpts"):
         os.makedirs(os.path.join(root, sub), exist_ok=True)
