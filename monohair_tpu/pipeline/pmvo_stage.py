@@ -65,7 +65,18 @@ def run_pmvo(args: Config, mesh=None) -> None:
         filter_unvisible = np.load(os.path.join(save_root, "filter_unvisible.npy"))
         coarse = None
         if args.PMVO.infer_inner:
+            # raw.npy = [pts, ori, occ_flag] for EVERY query (mvs_eval.py:250
+            # format). The reference fuse (PMVO.py:733-751) ingests all rows,
+            # but its unvisible test (PMVO.py:461-480: <3 views see the point
+            # in front of render_depth) marks every occluded query — including
+            # non-hair bust-interior ones — so at our colmap-guided query
+            # scale (61M queries, 5% positive) that is 30x wasted fuse work
+            # AND would stamp MVS-negative voxels into the occ grid.
+            # Deviation: fuse only the MVS-positive queries — the interior
+            # points the net actually predicts as hair.
             coarse = np.load(os.path.join(root, "ours/raw.npy"))
+            coarse = coarse[coarse[:, 6] > 0.5]
+            print(f"[pmvo] fusing {len(coarse)} MVS-positive interior points")
         occ, ori_grid = refine_and_voxelize(
             maps, pts, ori, loss, filter_unvisible, patch, conf_thr, vis_thr,
             args.PMVO.threshold, scalp_points=scalp_v, coarse_raw=coarse,

@@ -219,10 +219,18 @@ def refine_and_voxelize(maps: PMVOMaps, points: np.ndarray, ori: np.ndarray,
         c_ori = coarse_raw[:, 3:6].astype(np.float32)
         c_ori = np.asarray(canonicalize_down(jnp.asarray(c_ori)))
         unvis = []
-        for beg in range(0, len(c_pts), chunk):
+        import time as _time
+        _t0 = _time.monotonic()
+        n_chunks = (len(c_pts) + chunk - 1) // chunk
+        for k, beg in enumerate(range(0, len(c_pts), chunk)):
             sub, valid = _pad_to(c_pts[beg:beg + chunk], chunk)
             u = compute_unvisible_points(maps, jnp.asarray(sub))
             unvis.append(np.asarray(u)[:valid])
+            if k % 64 == 0:
+                # device-bound loops look like hangs from the host without
+                # progress at log points (CLAUDE.md)
+                print(f"[pmvo] fuse chunk {k + 1}/{n_chunks} "
+                      f"({_time.monotonic() - _t0:.0f}s)", flush=True)
         unvis = np.concatenate(unvis)
         from ..coords import voxel_indices as vidx
         iv = np.asarray(vidx(jnp.asarray(c_pts[unvis])))
