@@ -134,3 +134,46 @@ def test_synthetic_wig_pipeline():
     assert len(traced) > 0
     lengths = [len(s) for s in traced]
     assert max(lengths) > 15  # strands span tens of voxels
+
+
+def test_coarse_fuse_marks_only_unvisible_interior():
+    """The infer_inner fuse (refine_and_voxelize coarse_raw branch, reference
+    PMVO.py:733-751): coarse MVS points visible in >2 views must NOT be
+    stamped into the grid; occluded ("unvisible") ones must be, carrying
+    their (canonicalized) directions."""
+    rng = np.random.default_rng(1)
+    cams = ring_cameras()
+    strands = make_wig(rng=rng)
+    maps = render_observation_maps(cams, strands)
+
+    pts = np.concatenate(strands)[::16]
+    ori = np.tile(np.array([[0.0, -1.0, 0.0]], np.float32), (len(pts), 1))
+    loss = np.zeros(len(pts), np.float32)
+
+    # coarse interior candidates in a region the select points never touch
+    coarse_pts = (np.concatenate(strands)[1::16]
+                  + np.array([0.2, 0.0, 0.0], np.float32))
+    coarse_ori = np.tile(np.array([[0.0, 1.0, 0.0]], np.float32),
+                         (len(coarse_pts), 1))
+    coarse_raw = np.concatenate([coarse_pts, coarse_ori], 1)
+    c_idx = np.asarray(voxel_indices(jnp.asarray(coarse_pts)))
+
+    # far depth (the fixture's 230): every coarse point is visible in >2
+    # views -> the fuse must add nothing
+    occ_vis, _ = refine_and_voxelize(
+        maps, pts, ori, loss, np.zeros((0, 3), np.float32), 3, 0.4, 1.0,
+        threshold=0.1, coarse_raw=coarse_raw, chunk=2048)
+    assert occ_vis[c_idx[:, 0], c_idx[:, 1], c_idx[:, 2]].max() == 0
+
+    # near depth (0): the rendered surface occludes everything -> every
+    # coarse point is unvisible -> fused with canonicalized (down) direction
+    near = PMVOMaps(cams, jnp.zeros_like(maps.depth), maps.ori2d, maps.conf,
+                    maps.mask)
+    occ_unvis, ori_unvis = refine_and_voxelize(
+        near, pts, ori, loss, np.zeros((0, 3), np.float32), 3, 0.4, 1.0,
+        threshold=0.1, coarse_raw=coarse_raw, chunk=2048)
+    stamped = occ_unvis[c_idx[:, 0], c_idx[:, 1], c_idx[:, 2]]
+    assert stamped.min() == 1
+    d = ori_unvis[c_idx[:, 0], c_idx[:, 1], c_idx[:, 2]]
+    # canonicalize_down flips the authored +y to -y
+    assert np.allclose(d, np.array([0.0, -1.0, 0.0]), atol=1e-5)
